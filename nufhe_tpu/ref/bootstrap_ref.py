@@ -1,0 +1,71 @@
+"""Numpy oracle for the full bootstrap (``nufhe/bootstrap.py`` semantics).
+
+The golden host path: modulus switch, test-vector rotation, the n-step blind
+rotation via exact external products, sample extraction, keyswitch.  Device
+implementations are asserted bit-equal against this module.
+"""
+
+import numpy as np
+
+from ..numeric import Torus32, t32_to_phase_ref
+from . import polynomials_ref, tlwe_ref, tgsw_ref, lwe_ref
+
+
+def blind_rotate(accum_a, bk_coeff, bara, params):
+    """Multiply the accumulator by X^{sum bara_i s_i} via the CMUX ladder.
+
+    ACC <- BK_i x [(X^{bara_i} - 1) ACC] + ACC, for each key bit i.
+    Reference: ``nufhe/bootstrap.py:96-142``.
+
+    :param accum_a: (batch..., mask_size+1, N) Torus32.
+    :param bk_coeff: coefficient-domain bootstrap key
+        (n, mask_size+1, decomp_length, mask_size+1, N).
+    :param bara: (batch..., n) int32 in [0, 2N).
+    """
+    n = bk_coeff.shape[0]
+    accum = np.asarray(accum_a, Torus32).copy()
+    for i in range(n):
+        shifted = polynomials_ref.shift_polynomial(
+            accum, bara[..., i], minus_one=True)
+        prod = tgsw_ref.tgsw_external_mul(shifted, bk_coeff, i, params)
+        accum = (accum + prod).astype(Torus32)
+    return accum
+
+
+def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
+              no_keyswitch=False):
+    """result = LWE(mu) if phase(x) > 0 else LWE(-mu), rebuilt from scratch.
+
+    Reference: ``nufhe/bootstrap.py:154-229``.
+
+    :param lwe_a: (batch..., n) Torus32; ``lwe_b``: (batch...,).
+    :param bk_coeff: coefficient-domain bootstrap key.
+    :param ks: (ks_a, ks_b, ks_cv) keyswitch key arrays or None.
+    :param ks_params: (decomp_length, log2_base) for the keyswitch.
+    :returns: (a, b, cv) in the in_out space (or extracted space).
+    """
+    tlwe_params = params.tlwe_params
+    n_poly = tlwe_params.polynomial_degree
+    mask_size = tlwe_params.mask_size
+
+    barb = t32_to_phase_ref(lwe_b, 2 * n_poly)
+    bara = t32_to_phase_ref(lwe_a, 2 * n_poly)
+
+    # testvector = X^{2N - barb} * (mu, mu, ..., mu)
+    testvect = np.full(lwe_b.shape + (n_poly,), Torus32(mu), Torus32)
+    testvectbis = polynomials_ref.shift_polynomial(
+        testvect, barb, invert_powers=True)
+
+    accum, _ = tlwe_ref.tlwe_noiseless_trivial(testvectbis, mask_size)
+    accum = blind_rotate(accum, bk_coeff, bara, params)
+
+    ex_a, ex_b = tlwe_ref.tlwe_extract_lwe_samples(accum)
+    ex_cv = np.zeros(ex_b.shape, np.float32)
+
+    if no_keyswitch:
+        return ex_a, ex_b, ex_cv
+
+    ks_a, ks_b, ks_cv = ks
+    decomp_length, log2_base = ks_params
+    return lwe_ref.lwe_keyswitch(ks_a, ks_b, ks_cv, ex_a, ex_b,
+                                 decomp_length, log2_base)

@@ -1,0 +1,47 @@
+"""Test configuration.
+
+Tests run on the JAX CPU backend by default (deterministic, works anywhere),
+with 8 virtual devices so the multi-chip sharding path is exercised without
+TPU hardware.  Set ``JAX_PLATFORMS=tpu`` to run against a real chip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(42)
+
+
+@pytest.fixture(params=["NTT", "FFT"])
+def transform_type(request):
+    return request.param
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--heavy", action="store_true", default=False,
+        help="run heavy (full-parameter, benchmark-sized) tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--heavy"):
+        return
+    skip_heavy = pytest.mark.skip(reason="needs --heavy")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip_heavy)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "heavy: full-parameter / slow tests")
+    config.addinivalue_line("markers", "perf: performance measurement tests")
