@@ -1,0 +1,343 @@
+"""Key objects and key generation.
+
+Key material is generated on the host through the exact reference layer
+(mirroring the reference's host-side RNG design and its generation order,
+so a seeded ``DeterministicRNG`` yields reproducible keys), then prepared
+into device-resident forms:
+
+- the bootstrap key: coefficient-domain TGSW samples (serialized form)
+  -> transformed mod 2^38, limb-split, negacyclic-expanded bf16 tensor that
+  lives in HBM for the MXU MAC;
+- the keyswitch key: LWE table -> 8-bit-limb bf16 matrices.
+
+Reference: ``nufhe/lwe.py`` (LweKey, LweKeyswitchKey), ``nufhe/tlwe.py``,
+``nufhe/tgsw.py``, ``nufhe/bootstrap.py:44-92``, ``nufhe/api_low_level.py``.
+"""
+
+import io
+
+import numpy as np
+
+from .numeric import Torus32
+from .params import (
+    LweParams, TLweParams, TGswParams, NuFHEParameters)
+from .rng import (
+    rand_uniform_bool, rand_uniform_torus32, rand_gaussian_torus32)
+from .ref import tlwe_ref, tgsw_ref, lwe_ref
+from . import serialization
+
+
+class LweKey:
+    """Binary LWE secret key.  Reference: ``nufhe/lwe.py:71-106``."""
+
+    def __init__(self, params: LweParams, key):
+        self.params = params
+        self.key = np.asarray(key, Torus32)
+
+    @classmethod
+    def from_rng(cls, params: LweParams, rng):
+        return cls(params, rand_uniform_bool(rng, (params.size,)))
+
+    @classmethod
+    def from_tlwe_key(cls, params: LweParams, tlwe_key: 'TLweKey'):
+        poly_degree = tlwe_key.params.polynomial_degree
+        mask_size = tlwe_key.params.mask_size
+        assert params.size == poly_degree * mask_size
+        return cls(params, tlwe_key.key.ravel())
+
+    def dump(self, file_obj):
+        serialization.dump(
+            file_obj,
+            {"kind": "LweKey",
+             "params": [self.params.size, self.params.min_noise,
+                        self.params.max_noise]},
+            {"key": self.key})
+
+    @classmethod
+    def load(cls, file_obj):
+        meta, arrays = serialization.load(file_obj)
+        size, min_noise, max_noise = meta["params"]
+        return cls(LweParams(int(size), float(min_noise), float(max_noise)),
+                   arrays["key"])
+
+    def __eq__(self, other):
+        return (self.__class__ == other.__class__
+                and self.params == other.params
+                and np.array_equal(self.key, other.key))
+
+
+class TLweKey:
+    """mask_size binary polynomials.  Reference: ``nufhe/tlwe.py:77-91``."""
+
+    def __init__(self, params: TLweParams, key):
+        self.params = params
+        self.key = np.asarray(key, np.int32)  # (mask_size, N)
+
+    @classmethod
+    def from_rng(cls, params: TLweParams, rng):
+        key = rand_uniform_bool(
+            rng, (params.mask_size, params.polynomial_degree))
+        return cls(params, key)
+
+
+class TGswKey:
+    """Reference: ``nufhe/tgsw.py:70-78``."""
+
+    def __init__(self, params: TGswParams, tlwe_key: TLweKey):
+        self.params = params
+        self.tlwe_key = tlwe_key
+
+    @classmethod
+    def from_rng(cls, params: TGswParams, rng):
+        return cls(params, TLweKey.from_rng(params.tlwe_params, rng))
+
+
+class BootstrapKey:
+    """n TGSW encryptions of the LWE key bits.
+
+    Stored in coefficient domain (``bk_coeff``:
+    (n, mask_size+1, decomp_length, mask_size+1, N) int32); the device
+    representation is derived lazily and cached.
+    Reference: ``nufhe/bootstrap.py:44-92``.
+    """
+
+    def __init__(self, in_out_params: LweParams, bk_params: TGswParams,
+                 bk_coeff, cv):
+        self.in_out_params = in_out_params
+        self.bk_params = bk_params
+        self.accum_params = bk_params.tlwe_params
+        self.extract_params = self.accum_params.extracted_lweparams
+        self.bk_coeff = bk_coeff
+        self.cv = cv
+        self._device = None
+
+    @classmethod
+    def from_rng(cls, rng, lwe_key: LweKey, tgsw_key: TGswKey):
+        bk_params = tgsw_key.params
+        tlwe_params = bk_params.tlwe_params
+        mask_size = tlwe_params.mask_size
+        poly_n = tlwe_params.polynomial_degree
+        decomp = bk_params.decomp_length
+        noise = tlwe_params.min_noise
+        n = lwe_key.params.size
+
+        # TGSW encrypt-zero for all (n, mask_size+1, decomp_length) rows;
+        # RNG order matches the reference (``nufhe/tlwe.py:185-196``):
+        # uniform mask noise first, then gaussian body noise.
+        shape = (n, mask_size + 1, decomp)
+        noises1 = rand_uniform_torus32(rng, shape + (mask_size, poly_n))
+        noises2 = rand_gaussian_torus32(rng, 0, noise, shape + (poly_n,))
+        a, cv = tlwe_ref.tlwe_encrypt_zero(
+            tgsw_key.tlwe_key.key, noises1, noises2, noise)
+        # message * gadget onto the diagonal (``nufhe/tgsw.py:142-161``)
+        a = tgsw_ref.tgsw_add_message(a, lwe_key.key, bk_params)
+
+        return cls(lwe_key.params, bk_params, a.astype(Torus32), cv)
+
+    def device(self):
+        """The HBM-resident transformed/limb/expanded key for the MXU MAC."""
+        if self._device is None:
+            from .ops import tgsw as dtgsw
+            self._device = dtgsw.prepare_bootstrap_key_device(self.bk_coeff)
+        return self._device
+
+    def dump(self, file_obj):
+        serialization.dump(
+            file_obj,
+            {"kind": "BootstrapKey"},
+            {"bk_coeff": self.bk_coeff, "cv": self.cv})
+
+    @classmethod
+    def load(cls, file_obj, in_out_params, bk_params):
+        meta, arrays = serialization.load(file_obj)
+        assert meta["kind"] == "BootstrapKey"
+        return cls(in_out_params, bk_params, arrays["bk_coeff"], arrays["cv"])
+
+    def __eq__(self, other):
+        return (self.__class__ == other.__class__
+                and self.in_out_params == other.in_out_params
+                and self.bk_params == other.bk_params
+                and np.array_equal(self.bk_coeff, other.bk_coeff))
+
+
+class LweKeyswitchKey:
+    """Keyswitch key: (input_size, decomp_length, base) LWE samples.
+
+    Reference: ``nufhe/lwe.py:254-308``.
+    """
+
+    def __init__(self, ks_a, ks_b, ks_cv, log2_base: int):
+        self.ks_a = ks_a
+        self.ks_b = ks_b
+        self.ks_cv = ks_cv
+        self.input_size = ks_a.shape[0]
+        self.decomp_length = ks_a.shape[1]
+        self.output_size = ks_a.shape[-1]
+        self.log2_base = log2_base
+        self._device = None
+
+    @classmethod
+    def from_tgsw_key(cls, rng, ks_decomp_length: int, ks_log2_base: int,
+                      lwe_key: LweKey, tgsw_key: TGswKey):
+        extract_params = tgsw_key.params.tlwe_params.extracted_lweparams
+        in_key = LweKey.from_tlwe_key(extract_params, tgsw_key.tlwe_key)
+        out_key = lwe_key
+
+        input_size = in_key.params.size
+        output_size = out_key.params.size
+        noise = out_key.params.min_noise
+        base = 2**ks_log2_base
+
+        # RNG order matches the reference (``nufhe/lwe.py:285-288``):
+        # centered gaussian b-noise first, then uniform a-noise.
+        noises_b = rand_gaussian_torus32(
+            rng, 0, noise, (input_size, ks_decomp_length, base - 1),
+            centered=True)
+        noises_a = rand_uniform_torus32(
+            rng, (input_size, ks_decomp_length, base - 1, output_size))
+
+        ks_a, ks_b, ks_cv = lwe_ref.make_keyswitch_key(
+            in_key.key, out_key.key, noises_a, noises_b,
+            ks_decomp_length, ks_log2_base, noise)
+        return cls(ks_a, ks_b, ks_cv, ks_log2_base)
+
+    def device(self):
+        if self._device is None:
+            from .ops import lwe as dlwe
+            self._device = dlwe.prepare_keyswitch_device(
+                self.ks_a, self.ks_b, self.ks_cv, self.log2_base)
+        return self._device
+
+    def dump(self, file_obj):
+        serialization.dump(
+            file_obj,
+            {"kind": "LweKeyswitchKey", "log2_base": self.log2_base},
+            {"ks_a": self.ks_a, "ks_b": self.ks_b, "ks_cv": self.ks_cv})
+
+    @classmethod
+    def load(cls, file_obj):
+        meta, arrays = serialization.load(file_obj)
+        assert meta["kind"] == "LweKeyswitchKey"
+        return cls(arrays["ks_a"], arrays["ks_b"], arrays["ks_cv"],
+                   int(meta["log2_base"]))
+
+    def __eq__(self, other):
+        return (self.__class__ == other.__class__
+                and np.array_equal(self.ks_a, other.ks_a)
+                and np.array_equal(self.ks_b, other.ks_b))
+
+
+def _params_meta(params: NuFHEParameters):
+    return list(params._key)
+
+
+def _params_from_meta(meta):
+    (transform_type, tlwe_mask_size, tlwe_polynomial_degree, lwe_size,
+     bs_decomp_length, bs_log2_base, ks_decomp_length, ks_log2_base) = meta
+    return NuFHEParameters(
+        transform_type=transform_type, tlwe_mask_size=int(tlwe_mask_size),
+        tlwe_polynomial_degree=int(tlwe_polynomial_degree),
+        lwe_size=int(lwe_size), bs_decomp_length=int(bs_decomp_length),
+        bs_log2_base=int(bs_log2_base),
+        ks_decomp_length=int(ks_decomp_length),
+        ks_log2_base=int(ks_log2_base))
+
+
+class NuFHESecretKey:
+    """Reference: ``nufhe/api_low_level.py:90-154``."""
+
+    def __init__(self, params: NuFHEParameters, lwe_key: LweKey):
+        self.params = params
+        self.lwe_key = lwe_key
+
+    @classmethod
+    def from_rng(cls, params: NuFHEParameters, rng):
+        return cls(params, LweKey.from_rng(params.in_out_params, rng))
+
+    def dump(self, file_obj):
+        serialization.dump(
+            file_obj, {"kind": "NuFHESecretKey",
+                       "params": _params_meta(self.params)}, {})
+        self.lwe_key.dump(file_obj)
+
+    def dumps(self):
+        buf = io.BytesIO()
+        self.dump(buf)
+        return buf.getvalue()
+
+    @classmethod
+    def load(cls, file_obj):
+        meta, _ = serialization.load(file_obj)
+        assert meta["kind"] == "NuFHESecretKey"
+        params = _params_from_meta(meta["params"])
+        return cls(params, LweKey.load(file_obj))
+
+    @classmethod
+    def loads(cls, s: bytes):
+        return cls.load(io.BytesIO(s))
+
+    def __eq__(self, other):
+        return (self.__class__ == other.__class__
+                and self.params == other.params
+                and self.lwe_key == other.lwe_key)
+
+
+class NuFHECloudKey:
+    """Reference: ``nufhe/api_low_level.py:157-239``."""
+
+    def __init__(self, params: NuFHEParameters,
+                 bootstrap_key: BootstrapKey, keyswitch_key: LweKeyswitchKey):
+        self.params = params
+        self.bootstrap_key = bootstrap_key
+        self.keyswitch_key = keyswitch_key
+
+    @classmethod
+    def from_rng(cls, params: NuFHEParameters, rng,
+                 secret_key: NuFHESecretKey, perf_params=None):
+        tgsw_key = TGswKey.from_rng(params.tgsw_params, rng)
+        bk = BootstrapKey.from_rng(rng, secret_key.lwe_key, tgsw_key)
+        ks = LweKeyswitchKey.from_tgsw_key(
+            rng, params.ks_decomp_length, params.ks_log2_base,
+            secret_key.lwe_key, tgsw_key)
+        return cls(params, bk, ks)
+
+    def dump(self, file_obj):
+        serialization.dump(
+            file_obj, {"kind": "NuFHECloudKey",
+                       "params": _params_meta(self.params)}, {})
+        self.bootstrap_key.dump(file_obj)
+        self.keyswitch_key.dump(file_obj)
+
+    def dumps(self):
+        buf = io.BytesIO()
+        self.dump(buf)
+        return buf.getvalue()
+
+    @classmethod
+    def load(cls, file_obj):
+        meta, _ = serialization.load(file_obj)
+        assert meta["kind"] == "NuFHECloudKey"
+        params = _params_from_meta(meta["params"])
+        bk = BootstrapKey.load(
+            file_obj, params.in_out_params, params.tgsw_params)
+        ks = LweKeyswitchKey.load(file_obj)
+        return cls(params, bk, ks)
+
+    @classmethod
+    def loads(cls, s: bytes):
+        return cls.load(io.BytesIO(s))
+
+    def __eq__(self, other):
+        return (self.__class__ == other.__class__
+                and self.params == other.params
+                and self.bootstrap_key == other.bootstrap_key
+                and self.keyswitch_key == other.keyswitch_key)
+
+
+def make_key_pair(rng, **params):
+    """Create a (secret key, cloud key) pair.
+    Reference: ``nufhe/api_low_level.py:242-250``."""
+    nufhe_params = NuFHEParameters(**params)
+    secret_key = NuFHESecretKey.from_rng(nufhe_params, rng)
+    cloud_key = NuFHECloudKey.from_rng(nufhe_params, rng, secret_key)
+    return secret_key, cloud_key

@@ -1,0 +1,65 @@
+"""Encrypted integer operators (reference: ``nufhe/operators_integer.py``)."""
+
+import numpy as np
+
+from ..api import empty_ciphertext
+from .gates import gate_constant, gate_xnor, gate_mux
+
+
+def _uint_to_bits(x, bitsize):
+    return np.array([((int(x) >> i) & 1 != 0) for i in reversed(range(bitsize))])
+
+
+def _bits_to_uint(bits, dtype):
+    int_answer = 0
+    for i in range(bits.size):
+        int_answer = int_answer | (int(bits[i]) << (bits.size - i - 1))
+    return dtype(int_answer)
+
+
+def uintarray_to_bitarray(xs, itemsize=None):
+    """Unsigned integer array -> big-endian bit array (extra trailing axis)."""
+    xs = np.asarray(xs)
+    if itemsize is None:
+        itemsize = xs.itemsize * 8
+    assert np.issubdtype(xs.dtype, np.unsignedinteger)
+    res = np.vstack([_uint_to_bits(x, itemsize) for x in xs.flatten()])
+    return res.reshape(xs.shape + (itemsize,))
+
+
+def bitarray_to_uintarray(xs):
+    """Big-endian bit array -> unsigned integer array (drops last axis)."""
+    xs = np.asarray(xs)
+    itemsize = xs.shape[-1]
+    dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[itemsize]
+    flat = xs.reshape(-1, itemsize)
+    ints = [_bits_to_uint(flat[j], dtype) for j in range(flat.shape[0])]
+    return np.array(ints).reshape(xs.shape[:-1])
+
+
+def uint_min(cloud_key, answer, a, b, perf_params=None):
+    """Encrypted minimum of two unsigned integers (big-endian bit arrays).
+
+    The reference's example composite circuit: a bit-serial comparator built
+    from XNOR + MUX, then a final MUX selecting the smaller operand.
+    Reference: ``nufhe/operators_integer.py:64-95``.
+    """
+    params = cloud_key.params
+    itemsize = answer.shape[-1]
+
+    tmp1 = empty_ciphertext(params, a.shape[:-1] + (1,))
+    tmp2 = empty_ciphertext(params, a.shape[:-1] + (1,))
+
+    # carry = 0
+    gate_constant(cloud_key, tmp1, False)
+
+    # Compare bit i (MSB-first): if (a_i == b_i) keep carry else take a_i.
+    for i in reversed(range(itemsize)):
+        a_slice = a[:, i:i + 1]
+        b_slice = b[:, i:i + 1]
+        gate_xnor(cloud_key, tmp2, a_slice, b_slice, perf_params=perf_params)
+        gate_mux(cloud_key, tmp1, tmp2, tmp1, a_slice, perf_params=perf_params)
+
+    # carry == 0 -> a is smaller: answer = carry ? b : a
+    gate_mux(cloud_key, answer, tmp1, b, a, perf_params=perf_params)
+    return answer

@@ -21,7 +21,8 @@ def phase_to_t32(phase, mspace_size: int):
 
     Reference: ``nufhe/numeric_functions.py:30-31``.
     """
-    return Torus32((int(phase) % mspace_size) * (2**32 // mspace_size))
+    value = (int(phase) % mspace_size) * (2**32 // mspace_size)
+    return np.array(value % 2**32, np.uint32).view(Torus32)[()]
 
 
 def double_to_t32(d):

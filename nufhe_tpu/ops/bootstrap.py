@@ -1,0 +1,82 @@
+"""Device (JAX) bootstrap: modulus switch, blind rotation, extraction.
+
+Reference: ``nufhe/bootstrap.py`` (loop path) and ``nufhe/blind_rotate.mako``
+(the fused single-kernel path).  Here the n-step CMUX ladder is a
+``lax.fori_loop`` whose body is: per-batch monomial rotation (gather),
+gadget decomposition, exact forward transform, MXU limb MAC against the
+HBM-resident transformed bootstrap key, dual-channel inverse — all of which
+XLA compiles into a single program; batch is the parallel axis.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tlwe as dtlwe
+from . import tgsw as dtgsw
+from . import lwe as dlwe
+
+
+def t32_to_phase(phase, mspace_size: int):
+    """Modulus switch to [0, mspace_size).  Reference:
+    ``nufhe/numeric_functions_gpu.py:39-77``."""
+    interv = np.uint32(2**32 // mspace_size)
+    half = np.uint32(interv // 2)
+    phase_u = jax.lax.bitcast_convert_type(phase, jnp.uint32)
+    return ((phase_u + half) // interv).astype(jnp.int32)
+
+
+def blind_rotate(accum_a, bk_dev, bara, tgsw_params):
+    """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
+
+    :param accum_a: (B, mask_size+1, N) int32.
+    :param bk_dev: device bootstrap key (n, G, O, L, R, R, KL) bf16.
+    :param bara: (B, n) int32 in [0, 2N).
+    """
+    offset = int(tgsw_params.offset)
+    decomp_length = tgsw_params.decomp_length
+    log2_base = tgsw_params.bs_log2_base
+    n = bara.shape[-1]
+
+    def body(i, acc):
+        powers = jax.lax.dynamic_index_in_dim(bara, i, axis=-1, keepdims=False)
+        shifted = dtlwe.monomial_shift(acc, powers, minus_one=True)
+        delta = dtgsw.tgsw_transformed_external_mul(
+            shifted, bk_dev, i, offset, decomp_length, log2_base)
+        return (acc + delta).astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, n, body, accum_a)
+
+
+def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
+                     no_keyswitch=False):
+    """Full gate bootstrap on device.
+
+    result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
+    Reference: ``nufhe/bootstrap.py:154-229``.
+
+    :param lwe_a: (B, n_in) int32; ``lwe_b``: (B,) int32.
+    :returns: (a, b, cv) in the keyswitched (or extracted) LWE space.
+    """
+    tlwe_params = tgsw_params.tlwe_params
+    n_poly = tlwe_params.polynomial_degree
+    mask_size = tlwe_params.mask_size
+
+    barb = t32_to_phase(lwe_b, 2 * n_poly)
+    bara = t32_to_phase(lwe_a, 2 * n_poly)
+
+    # testvector = X^{2N - barb} * (mu, ..., mu)
+    testvect = jnp.full(lwe_b.shape + (n_poly,), jnp.int32(mu))
+    testvectbis = dtlwe.monomial_shift(testvect, barb, invert_powers=True)
+
+    accum, _ = dtlwe.tlwe_noiseless_trivial(testvectbis, mask_size)
+    accum = blind_rotate(accum, bk_dev, bara, tgsw_params)
+
+    ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
+    if no_keyswitch:
+        cv = jnp.zeros(ex_b.shape, jnp.float32)
+        return ex_a, ex_b.astype(jnp.int32), cv
+
+    return dlwe.lwe_keyswitch(ks_arrays, ks_meta, ex_a, ex_b)

@@ -1,0 +1,158 @@
+"""Device (JAX) LWE operations.
+
+Replaces the reference's reikna Computations (``nufhe/lwe_gpu.py``): the
+cheap elementwise/reduction ops are plain jnp (XLA fuses them); the
+keyswitch — the one memory/compute-heavy op — is reformulated as exact
+bf16 matmuls on the MXU (digit one-hot masks x 8-bit key limbs, f32
+accumulation; every partial sum stays below 2^24 so the arithmetic is
+exact integer arithmetic).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..numeric import Torus32, ErrorFloat
+
+KS_LIMB_BITS = 8
+KS_LIMBS = 4
+
+
+class KeyswitchMeta(NamedTuple):
+    """Static (hashable) keyswitch configuration."""
+    base: int
+    decomp_length: int
+    log2_base: int
+    input_size: int
+    output_size: int
+
+
+def lwe_encrypt(messages, key, noises_a, noises_b, noise: float):
+    """b = message + noise_b + a.s; a = uniform noise.
+
+    Reference kernel: ``nufhe/lwe_gpu.py:186-243``.
+    """
+    a = noises_a.astype(jnp.int32)
+    b = (messages + noises_b + jnp.sum(a * key, axis=-1, dtype=jnp.int32)
+         ).astype(jnp.int32)
+    cv = jnp.full(b.shape, noise**2, ErrorFloat)
+    return a, b, cv
+
+
+def lwe_decrypt_phase(a, b, key):
+    """phase = b - a.s.  Reference kernel: ``nufhe/lwe_gpu.py:246-284``."""
+    return (b - jnp.sum(a * key, axis=-1, dtype=jnp.int32)).astype(jnp.int32)
+
+
+def lwe_linear(source, p, add_to=None):
+    """result (+)= p * source, on (a, b, cv) triples.
+
+    Reference kernel: ``nufhe/lwe_gpu.py:287-316``.
+    """
+    sa, sb, scv = source
+    p32 = jnp.int32(p)
+    ra, rb = p32 * sa, p32 * sb
+    rcv = jnp.float32(p) ** 2 * scv
+    if add_to is not None:
+        aa, ab, acv = add_to
+        ra, rb, rcv = aa + ra, ab + rb, acv + rcv
+    return ra.astype(jnp.int32), rb.astype(jnp.int32), rcv.astype(ErrorFloat)
+
+
+def lwe_noiseless_trivial(mus, lwe_size: int):
+    """(0, mu).  Reference kernel: ``nufhe/lwe_gpu.py:319-344``."""
+    mus = jnp.asarray(mus, jnp.int32)
+    a = jnp.zeros(mus.shape + (lwe_size,), jnp.int32)
+    cv = jnp.zeros(mus.shape, ErrorFloat)
+    return a, mus, cv
+
+
+# --- keyswitch ---
+
+def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
+    """Host->device preparation of the keyswitch key for the MXU path.
+
+    Packs, for each nonzero digit value v, the (input_size * decomp_length,
+    output_size + 1) table of [a | b] entries split into KS_LIMBS balanced
+    radix-2^8 limbs (bf16), plus the variance table (f32).
+
+    :returns: dict of device arrays.
+    """
+    input_size, decomp_length, base, output_size = ks_a.shape
+    rows = input_size * decomp_length
+    n_pad = -(-(output_size + 1) // 128) * 128
+
+    ab = np.concatenate([ks_a, ks_b[..., None]], axis=-1)  # (in, l, base, out+1)
+    ab = ab.transpose(2, 0, 1, 3).reshape(base, rows, output_size + 1)
+    ab = ab[1:]  # digit 0 rows are trivial zero encryptions
+
+    v = ab.astype(np.int64)
+    limbs = []
+    for _ in range(KS_LIMBS):
+        l0 = ((v + 128) & 255) - 128
+        limbs.append(l0.astype(np.int16))
+        v = (v - l0) >> KS_LIMB_BITS
+    limbs = np.stack(limbs, axis=1)  # (base-1, KS_LIMBS, rows, out+1)
+
+    padded = np.zeros(limbs.shape[:-1] + (n_pad,), np.float32)
+    padded[..., :output_size + 1] = limbs
+    cv = ks_cv.transpose(2, 0, 1).reshape(base, rows)[1:].astype(np.float32)
+
+    arrays = dict(
+        ab_limbs=jnp.asarray(padded, jnp.bfloat16),
+        cv=jnp.asarray(cv),
+    )
+    meta = KeyswitchMeta(
+        base=base, decomp_length=decomp_length, log2_base=log2_base,
+        input_size=input_size, output_size=output_size)
+    return arrays, meta
+
+
+def keyswitch_digits(source_a, decomp_length: int, log2_base: int):
+    """aijs = ((a + prec_offset) >> (32 - (j+1)*log2_base)) & (base-1).
+
+    Reference: ``nufhe/lwe_gpu.mako:66-93`` semantics (arithmetic shifts).
+    """
+    prec_offset = jnp.int32(2**(32 - (1 + log2_base * decomp_length)))
+    shifts = (32 - (np.arange(1, decomp_length + 1)) * log2_base).astype(np.int32)
+    shifted = (source_a[..., None] + prec_offset).astype(jnp.int32)
+    return (shifted >> shifts) & jnp.int32(2**log2_base - 1)
+
+
+def lwe_keyswitch(ks_arrays, ks_meta: KeyswitchMeta, source_a, source_b):
+    """result = (0, b) - sum_{l,j} KS[l, j, digit_{l,j}] via exact matmuls.
+
+    :param ks_arrays, ks_meta: output of ``prepare_keyswitch_device``.
+    :param source_a: (batch..., input_size) i32; ``source_b``: (batch...,).
+    :returns: (a, b, cv) in the output LWE space.
+    """
+    base = ks_meta.base
+    out_size = ks_meta.output_size
+    batch_shape = source_b.shape
+    rows = ks_arrays["ab_limbs"].shape[-2]
+
+    digits = keyswitch_digits(
+        source_a, ks_meta.decomp_length, ks_meta.log2_base)
+    digits = digits.reshape((-1, rows))  # (B, in*l)
+
+    total = 0
+    cv_total = 0
+    for v in range(1, base):
+        mask = (digits == v)
+        mask_bf = mask.astype(jnp.bfloat16)
+        cv_total = cv_total + mask * ks_arrays["cv"][v - 1]
+        for limb in range(KS_LIMBS):
+            p = jnp.einsum(
+                'br,rn->bn', mask_bf, ks_arrays["ab_limbs"][v - 1, limb],
+                preferred_element_type=jnp.float32)
+            total = total + (p.astype(jnp.int32) << (KS_LIMB_BITS * limb))
+
+    result_a = (-total[:, :out_size]).reshape(batch_shape + (out_size,))
+    result_b = (source_b.reshape(-1) - total[:, out_size]).astype(jnp.int32)
+    result_cv = jnp.sum(cv_total, axis=-1, dtype=ErrorFloat)
+    return (result_a.astype(jnp.int32),
+            result_b.reshape(batch_shape),
+            result_cv.reshape(batch_shape))

@@ -7,11 +7,18 @@ TPU hardware.  Set ``JAX_PLATFORMS=tpu`` to run against a real chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+_platform = os.environ.get("NUFHE_TPU_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment may pin JAX_PLATFORMS to a TPU plugin; the config update
+# takes precedence, so this reliably selects the CPU backend for tests.
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np
 import pytest

@@ -1,0 +1,137 @@
+"""API and serialization tests (reference: test/test_api_high_level.py,
+test/test_api_low_level.py)."""
+
+import io
+
+import numpy as np
+import pytest
+
+import nufhe_tpu as nf
+
+
+@pytest.fixture(scope="module")
+def ctx_keys():
+    ctx = nf.Context(rng=nf.DeterministicRNG(99))
+    secret, cloud = ctx.make_key_pair(lwe_size=16)
+    return ctx, secret, cloud
+
+
+def test_context_workflow(ctx_keys):
+    ctx, secret, cloud = ctx_keys
+    vm = ctx.make_virtual_machine(cloud)
+    bits = np.array([True, False, True, True])
+    c = ctx.encrypt(secret, bits)
+    res = vm.gate_not(c)
+    assert np.array_equal(ctx.decrypt(secret, res), ~bits)
+
+
+def test_find_devices():
+    devices = nf.find_devices()
+    assert len(devices) >= 1
+    d = devices[0]
+    assert d.get_device() is not None
+    assert isinstance(str(d), str)
+
+
+def test_secret_key_serialization(ctx_keys):
+    ctx, secret, cloud = ctx_keys
+    data = secret.dumps()
+    loaded = nf.NuFHESecretKey.loads(data)
+    assert loaded == secret
+
+    buf = io.BytesIO()
+    secret.dump(buf)
+    buf.seek(0)
+    assert ctx.load_secret_key(buf) == secret
+    assert ctx.load_secret_key(data) == secret
+
+
+def test_cloud_key_serialization(ctx_keys):
+    ctx, secret, cloud = ctx_keys
+    data = cloud.dumps()
+    loaded = nf.NuFHECloudKey.loads(data)
+    assert loaded == cloud
+    assert ctx.load_cloud_key(data) == cloud
+
+
+def test_ciphertext_serialization(ctx_keys):
+    ctx, secret, cloud = ctx_keys
+    bits = np.array([[True, False], [False, True]])
+    c = ctx.encrypt(secret, bits)
+    data = c.dumps()
+    loaded = nf.LweSampleArray.loads(data)
+    assert loaded == c
+    assert np.array_equal(ctx.decrypt(secret, loaded), bits)
+
+
+def test_serialized_gate_roundtrip(ctx_keys):
+    """Full client/cloud workflow: serialize keys + ciphertexts, reload,
+    compute, serialize result, decrypt (reference: examples/serialization.py).
+    """
+    ctx, secret, cloud = ctx_keys
+    bits_a = np.array([True, False, True])
+    bits_b = np.array([True, True, False])
+
+    ca = ctx.encrypt(secret, bits_a).dumps()
+    cb = ctx.encrypt(secret, bits_b).dumps()
+    cloud_data = cloud.dumps()
+
+    # "cloud side"
+    cloud2 = nf.NuFHECloudKey.loads(cloud_data)
+    vm = nf.VirtualMachine(cloud2)
+    res = vm.gate_nand(nf.LweSampleArray.loads(ca), nf.LweSampleArray.loads(cb))
+    res_data = res.dumps()
+
+    # "client side"
+    got = ctx.decrypt(secret, nf.LweSampleArray.loads(res_data))
+    assert np.array_equal(got, ~(bits_a & bits_b))
+
+
+def test_both_rngs():
+    for rng in (nf.DeterministicRNG(1), nf.SecureRNG()):
+        x = rng.uniform_bool((100,))
+        assert set(np.unique(x)).issubset({0, 1})
+        t = rng.uniform_torus32((100,))
+        assert t.dtype == np.int32
+        g = rng.gauss((1000,), 2.0)
+        assert abs(float(np.std(g)) - 2.0) < 0.5
+
+
+def test_vm_shape_derivation(ctx_keys):
+    """dest=None derives the broadcast result shape
+    (reference: test_api_high_level.py:135-172)."""
+    ctx, secret, cloud = ctx_keys
+    vm = ctx.make_virtual_machine(cloud)
+    a = ctx.encrypt(secret, np.zeros((3, 1, 4), bool))
+    b = ctx.encrypt(secret, np.zeros((5, 4), bool))
+    res = vm.gate_and(a, b)
+    assert res.shape == (3, 5, 4)
+
+
+def test_ciphertext_roll_concat_setitem(ctx_keys):
+    ctx, secret, cloud = ctx_keys
+    bits = np.random.RandomState(3).randint(0, 2, (2, 6)).astype(bool)
+    c = ctx.encrypt(secret, bits)
+
+    c2 = c.copy()
+    c2.roll(2, axis=-1)
+    assert np.array_equal(ctx.decrypt(secret, c2), np.roll(bits, 2, axis=-1))
+
+    cat = nf.concatenate([c, c2], axis=0)
+    assert cat.shape == (4, 6)
+    want = np.concatenate([bits, np.roll(bits, 2, axis=-1)], axis=0)
+    assert np.array_equal(ctx.decrypt(secret, cat), want)
+
+    c3 = c.copy()
+    c3[0] = c2[1]
+    got = ctx.decrypt(secret, c3)
+    want = bits.copy()
+    want[0] = np.roll(bits, 2, axis=-1)[1]
+    assert np.array_equal(got, want)
+
+
+def test_empty_ciphertext_shapes(ctx_keys):
+    ctx, secret, cloud = ctx_keys
+    c = nf.empty_ciphertext(cloud.params, (2, 3))
+    assert c.shape == (2, 3)
+    assert c.a.shape == (2, 3, cloud.params.in_out_params.size)

@@ -1,0 +1,110 @@
+"""Bit-exact equality of the device bootstrap against the host oracle,
+plus key generation consistency (reduced LWE size keeps the oracle fast;
+the polynomial/transform dimensions stay at full scale)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from nufhe_tpu.params import NuFHEParameters
+from nufhe_tpu.rng import DeterministicRNG
+from nufhe_tpu.keys import (
+    NuFHESecretKey, NuFHECloudKey, LweKey, TGswKey, BootstrapKey,
+    LweKeyswitchKey)
+from nufhe_tpu.ref import bootstrap_ref, lwe_ref, tgsw_ref
+from nufhe_tpu.ops import bootstrap as dboot
+from nufhe_tpu.ops import tgsw as dtgsw
+from nufhe_tpu.numeric import phase_to_t32
+from nufhe_tpu.utils import errors_allclose
+
+LWE_SIZE = 16  # blind-rotate steps in tests (full default is 500)
+
+
+@pytest.fixture(scope="module")
+def small_keys():
+    rng = DeterministicRNG(2024)
+    params = NuFHEParameters(lwe_size=LWE_SIZE)
+    secret = NuFHESecretKey.from_rng(params, rng)
+    cloud = NuFHECloudKey.from_rng(params, rng, secret)
+    return params, secret, cloud, rng
+
+
+def test_bootstrap_device_matches_oracle(small_keys):
+    params, secret, cloud, rng = small_keys
+    B = 4
+    lwe_a = rng.uniform_torus32((B, LWE_SIZE))
+    lwe_b = rng.uniform_torus32((B,))
+    mu = phase_to_t32(1, 8)
+
+    bk = cloud.bootstrap_key
+    ks = cloud.keyswitch_key
+    tp = params.tgsw_params
+
+    for no_ks in (False, True):
+        want = bootstrap_ref.bootstrap(
+            lwe_a, lwe_b, bk.bk_coeff, (ks.ks_a, ks.ks_b, ks.ks_cv),
+            mu, tp, (ks.decomp_length, ks.log2_base), no_keyswitch=no_ks)
+        arrays, meta = ks.device()
+        got = dboot.bootstrap_device(
+            jnp.asarray(lwe_a), jnp.asarray(lwe_b), bk.device(), arrays, meta,
+            int(mu), tp, no_keyswitch=no_ks)
+        assert np.array_equal(np.asarray(got[0]), want[0]), f"a (no_ks={no_ks})"
+        assert np.array_equal(np.asarray(got[1]), want[1]), f"b (no_ks={no_ks})"
+        assert errors_allclose(got[2], want[2])
+
+
+def test_bootstrap_decrypts_correctly(small_keys):
+    """End-to-end: phase sign in, +-mu out, decryptable with the secret key.
+
+    (With the reduced LWE size the noise analysis still holds comfortably.)
+    """
+    params, secret, cloud, rng = small_keys
+    mu = phase_to_t32(1, 8)
+    # trivial samples with known phases: +1/8 and -1/8
+    B = 8
+    phases = np.where(np.arange(B) % 2 == 0, phase_to_t32(1, 8),
+                      phase_to_t32(-1, 8)).astype(np.int32)
+    lwe_a = np.zeros((B, LWE_SIZE), np.int32)
+
+    bk = cloud.bootstrap_key
+    ks = cloud.keyswitch_key
+    arrays, meta = ks.device()
+    a, b, cv = dboot.bootstrap_device(
+        jnp.asarray(lwe_a), jnp.asarray(phases), bk.device(), arrays, meta,
+        int(mu), params.tgsw_params)
+
+    phase = lwe_ref.lwe_decrypt_phase(
+        np.asarray(a), np.asarray(b), secret.lwe_key.key)
+    got_bits = phase > 0
+    want_bits = phases > 0
+    assert np.array_equal(got_bits, want_bits)
+
+
+def test_bootstrap_key_is_valid_tgsw(small_keys):
+    """Decrypting each bootstrap key row must recover the LWE key bit times
+    the gadget: check the TGSW structure via phase of the TLWE rows."""
+    params, secret, cloud, rng = small_keys
+    # regenerate the TGSW key deterministically to access the TLWE key
+    rng2 = DeterministicRNG(77)
+    params2 = NuFHEParameters(lwe_size=8)
+    lwe_key = LweKey.from_rng(params2.in_out_params, rng2)
+    tgsw_key = TGswKey.from_rng(params2.tgsw_params, rng2)
+    bk = BootstrapKey.from_rng(rng2, lwe_key, tgsw_key)
+
+    tp = params2.tgsw_params
+    z = tgsw_key.tlwe_key.key[0].astype(np.int64)  # mask_size=1
+    # phase of TLWE sample (a, b): b - a * z  (negacyclic product)
+    from nufhe_tpu.ref import transform_ref as tr
+    # For the body row (mask_idx = mask_size) the gadget lands on the body
+    # polynomial, so phase(row) = msg * base_power + small noise.
+    for i in range(2):  # spot-check rows
+        for d in range(tp.decomp_length):
+            a_poly = bk.bk_coeff[i, 1, d, 0]   # mask part
+            b_poly = bk.bk_coeff[i, 1, d, 1]   # body part
+            prod = tr.schoolbook_negacyclic(z.astype(np.int32), a_poly)
+            phase = (b_poly.astype(np.int64) - prod.astype(np.int64))
+            phase = (phase & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            expected_msg = int(lwe_key.key[i]) * int(tp.base_powers[d])
+            diff = int(phase[0]) - expected_msg
+            diff = (diff + 2**31) % 2**32 - 2**31
+            assert abs(diff) < 2**22, (i, d, diff)

@@ -1,0 +1,150 @@
+"""End-to-end gate tests: encrypt -> gate -> decrypt vs plaintext booleans.
+
+Mirrors the reference's ``check_gate`` harness (test/test_gates.py:40-85).
+LWE size is reduced (32) to keep the 500-step ladder short in CI; the
+polynomial/transform dimensions are full-scale.  ``--heavy`` runs the
+default 128-bit-security parameters.
+"""
+
+import numpy as np
+import pytest
+
+import nufhe_tpu as nf
+
+LWE_SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def keys():
+    rng = nf.DeterministicRNG(42)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=LWE_SIZE)
+    vm = nf.VirtualMachine(cloud)
+    return rng, secret, vm
+
+
+def _check_gate(keys, name, num_args, func, shape=(8,)):
+    rng, secret, vm = keys
+    plaintexts = [
+        np.random.RandomState(100 + i).randint(0, 2, shape).astype(bool)
+        for i in range(num_args)]
+    ciphertexts = [nf.encrypt(rng, secret, p) for p in plaintexts]
+    result = getattr(vm, name)(*ciphertexts)
+    got = nf.decrypt(secret, result)
+    want = func(*plaintexts)
+    assert np.array_equal(got, want), name
+
+
+REFERENCES = {
+    'gate_nand': (2, lambda a, b: ~(a & b)),
+    'gate_or': (2, lambda a, b: a | b),
+    'gate_and': (2, lambda a, b: a & b),
+    'gate_xor': (2, lambda a, b: a ^ b),
+    'gate_xnor': (2, lambda a, b: ~(a ^ b)),
+    'gate_nor': (2, lambda a, b: ~(a | b)),
+    'gate_andny': (2, lambda a, b: ~a & b),
+    'gate_andyn': (2, lambda a, b: a & ~b),
+    'gate_orny': (2, lambda a, b: ~a | b),
+    'gate_oryn': (2, lambda a, b: a | ~b),
+    'gate_not': (1, lambda a: ~a),
+    'gate_copy': (1, lambda a: a),
+    'gate_mux': (3, lambda a, b, c: np.where(a, b, c)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(REFERENCES))
+def test_gate(keys, name):
+    num_args, func = REFERENCES[name]
+    _check_gate(keys, name, num_args, func)
+
+
+def test_gate_constant(keys):
+    rng, secret, vm = keys
+    vals = np.random.RandomState(5).randint(0, 2, (3, 4)).astype(bool)
+    result = vm.empty_ciphertext(vals.shape)
+    nf.gate_constant(vm.cloud_key, result, vals)
+    assert np.array_equal(nf.decrypt(secret, result), vals)
+
+
+def test_gate_broadcasting(keys):
+    rng, secret, vm = keys
+    a = np.random.RandomState(6).randint(0, 2, (3, 8)).astype(bool)
+    b = np.random.RandomState(7).randint(0, 2, (8,)).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    cb = nf.encrypt(rng, secret, b)
+    res = vm.gate_and(ca, cb)
+    assert res.shape == (3, 8)
+    assert np.array_equal(nf.decrypt(secret, res), a & b)
+
+
+def test_gate_over_view(keys):
+    """Gates applied to strided ciphertext views
+    (reference: test/test_gates.py:514-559)."""
+    rng, secret, vm = keys
+    a = np.random.RandomState(8).randint(0, 2, (2, 6)).astype(bool)
+    b = np.random.RandomState(9).randint(0, 2, (2, 6)).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    cb = nf.encrypt(rng, secret, b)
+    out = vm.empty_ciphertext((2, 6))
+    nf.gate_constant(vm.cloud_key, out, False)
+
+    view_res = out[:, 1:4]
+    nf.gate_xor(vm.cloud_key, view_res, ca[:, 1:4], cb[:, 1:4])
+    out[:, 1:4] = view_res
+
+    got = nf.decrypt(secret, out)
+    want = np.zeros((2, 6), bool)
+    want[:, 1:4] = a[:, 1:4] ^ b[:, 1:4]
+    assert np.array_equal(got, want)
+
+
+def test_gate_dest(keys):
+    rng, secret, vm = keys
+    a = np.random.RandomState(10).randint(0, 2, (4,)).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    dest = vm.empty_ciphertext((4,))
+    res = vm.gate_not(ca, dest=dest)
+    assert res is dest
+    assert np.array_equal(nf.decrypt(secret, dest), ~a)
+
+
+@pytest.mark.heavy
+def test_gate_nand_full_params():
+    """Config 1 of BASELINE.json: NAND on 32 encrypted bits at the full
+    default (128-bit security) parameter set."""
+    rng = nf.DeterministicRNG(123)
+    secret, cloud = nf.make_key_pair(rng)
+    vm = nf.VirtualMachine(cloud)
+    a = np.random.RandomState(0).randint(0, 2, 32).astype(bool)
+    b = np.random.RandomState(1).randint(0, 2, 32).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    cb = nf.encrypt(rng, secret, b)
+    res = vm.gate_nand(ca, cb)
+    assert np.array_equal(nf.decrypt(secret, res), ~(a & b))
+
+
+@pytest.mark.heavy
+def test_gate_mask_size_2():
+    """tlwe_mask_size=2 parameter variant (reference: test_gates.py:96-100)."""
+    rng = nf.DeterministicRNG(321)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=LWE_SIZE, tlwe_mask_size=2)
+    vm = nf.VirtualMachine(cloud)
+    a = np.random.RandomState(2).randint(0, 2, 8).astype(bool)
+    b = np.random.RandomState(3).randint(0, 2, 8).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    cb = nf.encrypt(rng, secret, b)
+    res = vm.gate_nand(ca, cb)
+    assert np.array_equal(nf.decrypt(secret, res), ~(a & b))
+
+
+def test_transform_type_fft_variant():
+    """transform_type='FFT' produces identical ciphertext results (both are
+    served by the exact engine on device)."""
+    rng = nf.DeterministicRNG(55)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16, transform_type='FFT')
+    vm = nf.VirtualMachine(cloud)
+    a = np.random.RandomState(4).randint(0, 2, 4).astype(bool)
+    b = np.random.RandomState(5).randint(0, 2, 4).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    cb = nf.encrypt(rng, secret, b)
+    res = vm.gate_or(ca, cb)
+    assert np.array_equal(nf.decrypt(secret, res), a | b)

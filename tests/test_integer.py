@@ -1,0 +1,34 @@
+"""Encrypted integer operator tests (reference: test_gates.py:248-249)."""
+
+import numpy as np
+import pytest
+
+import nufhe_tpu as nf
+from nufhe_tpu.models.integer import (
+    uintarray_to_bitarray, bitarray_to_uintarray, uint_min)
+
+
+def test_bit_helpers():
+    xs = np.array([3, 200, 255, 0], np.uint8)
+    bits = uintarray_to_bitarray(xs)
+    assert bits.shape == (4, 8)
+    assert np.array_equal(bitarray_to_uintarray(bits), xs)
+
+
+def test_uint_min():
+    rng = nf.DeterministicRNG(7)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    a_vals = np.array([3, 9, 12], np.uint8)
+    b_vals = np.array([5, 9, 7], np.uint8)
+    a_bits = uintarray_to_bitarray(a_vals)
+    b_bits = uintarray_to_bitarray(b_vals)
+
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
+    answer = nf.empty_ciphertext(cloud.params, a_bits.shape)
+
+    uint_min(cloud, answer, ca, cb)
+
+    got = bitarray_to_uintarray(nf.decrypt(secret, answer))
+    assert np.array_equal(got, np.minimum(a_vals, b_vals))
