@@ -1,0 +1,87 @@
+"""Benchmark: bootstrapped NAND gate throughput at the default (128-bit
+security) parameter set, batch 2^14 — the headline metric of the reference
+(``README.md:62-67``: nuFHE NTT = 0.35 ms/bit on a single GPU).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup factor over the reference's 0.35 ms/bit.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS_PER_BIT = 0.35  # nuFHE NTT NAND, single GPU (reference README)
+
+
+def main():
+    import jax
+    import nufhe_tpu as nf
+
+    batch = int(os.environ.get("NUFHE_BENCH_BATCH", 16384))
+    runs = int(os.environ.get("NUFHE_BENCH_RUNS", 5))
+
+    rng = nf.DeterministicRNG(42)
+    t0 = time.time()
+    secret, cloud = nf.make_key_pair(rng)
+    keygen_host_t = time.time() - t0
+
+    t0 = time.time()
+    cloud.bootstrap_key.device()     # transform + expand + upload
+    cloud.keyswitch_key.device()
+    key_prep_t = time.time() - t0
+
+    bits_a = np.random.RandomState(0).randint(0, 2, batch).astype(bool)
+    bits_b = np.random.RandomState(1).randint(0, 2, batch).astype(bool)
+    ca = nf.encrypt(rng, secret, bits_a)
+    cb = nf.encrypt(rng, secret, bits_b)
+
+    vm = nf.VirtualMachine(cloud)
+
+    # warm-up (compile)
+    t0 = time.time()
+    res = vm.gate_nand(ca, cb)
+    jax.block_until_ready(res.a)
+    compile_t = time.time() - t0
+
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        res = vm.gate_nand(ca, cb, dest=res)
+        jax.block_until_ready(res.a)
+        times.append(time.time() - t0)
+
+    # correctness check on the benchmark output
+    got = nf.decrypt(secret, res)
+    ok = bool(np.array_equal(got, ~(bits_a & bits_b)))
+
+    best = min(times)
+    ms_per_bit = best / batch * 1000.0
+
+    print(json.dumps({
+        "metric": "bootstrapped NAND ms/bit (batch {})".format(batch),
+        "value": round(ms_per_bit, 6),
+        "unit": "ms/bit",
+        "vs_baseline": round(BASELINE_MS_PER_BIT / ms_per_bit, 3),
+    }))
+
+    print(json.dumps({
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "batch": batch,
+            "best_s": round(best, 4),
+            "all_runs_s": [round(t, 4) for t in times],
+            "gates_per_sec": round(batch / best, 1),
+            "compile_s": round(compile_t, 2),
+            "keygen_host_s": round(keygen_host_t, 2),
+            "key_prep_s": round(key_prep_t, 2),
+            "correct": ok,
+        }}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

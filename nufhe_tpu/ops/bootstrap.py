@@ -28,11 +28,12 @@ def t32_to_phase(phase, mspace_size: int):
     return ((phase_u + half) // interv).astype(jnp.int32)
 
 
-def blind_rotate(accum_a, bk_dev, bara, tgsw_params):
+def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     :param accum_a: (B, mask_size+1, N) int32.
-    :param bk_dev: device bootstrap key (n, G, O, L, R, R, KL) bf16.
+    :param bk_dev: device bootstrap key (n, G, O, L, R, R, KL) bf16
+        (G-sharded when ``axis_name`` is given).
     :param bara: (B, n) int32 in [0, 2N).
     """
     offset = int(tgsw_params.offset)
@@ -44,14 +45,15 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params):
         powers = jax.lax.dynamic_index_in_dim(bara, i, axis=-1, keepdims=False)
         shifted = dtlwe.monomial_shift(acc, powers, minus_one=True)
         delta = dtgsw.tgsw_transformed_external_mul(
-            shifted, bk_dev, i, offset, decomp_length, log2_base)
+            shifted, bk_dev, i, offset, decomp_length, log2_base,
+            axis_name=axis_name)
         return (acc + delta).astype(jnp.int32)
 
     return jax.lax.fori_loop(0, n, body, accum_a)
 
 
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
-                     no_keyswitch=False):
+                     no_keyswitch=False, axis_name=None):
     """Full gate bootstrap on device.
 
     result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
@@ -72,7 +74,7 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     testvectbis = dtlwe.monomial_shift(testvect, barb, invert_powers=True)
 
     accum, _ = dtlwe.tlwe_noiseless_trivial(testvectbis, mask_size)
-    accum = blind_rotate(accum, bk_dev, bara, tgsw_params)
+    accum = blind_rotate(accum, bk_dev, bara, tgsw_params, axis_name=axis_name)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
     if no_keyswitch:

@@ -97,12 +97,15 @@ def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
         v = (v - l0) >> KS_LIMB_BITS
     limbs = np.stack(limbs, axis=1)  # (base-1, KS_LIMBS, rows, out+1)
 
-    padded = np.zeros(limbs.shape[:-1] + (n_pad,), np.float32)
+    padded = np.zeros(limbs.shape[:-1] + (n_pad,), np.int8)
     padded[..., :output_size + 1] = limbs
     cv = ks_cv.transpose(2, 0, 1).reshape(base, rows)[1:].astype(np.float32)
 
+    # upload the compact int8 form (the host->device link is slow) and
+    # convert to bf16 on device
     arrays = dict(
-        ab_limbs=jnp.asarray(padded, jnp.bfloat16),
+        ab_limbs=jax.jit(lambda x: x.astype(jnp.bfloat16))(
+            jnp.asarray(padded)),
         cv=jnp.asarray(cv),
     )
     meta = KeyswitchMeta(
