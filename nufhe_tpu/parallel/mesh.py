@@ -76,8 +76,7 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
     mapped = shard_map(
         step, mesh=mesh,
         in_specs=(P('data'), P('data'), P(None, 'model'), P(), P()),
-        out_specs=(P('data'), P('data'), P('data')),
-        check_rep=False)
+        out_specs=(P('data'), P('data'), P('data')))
 
     @jax.jit
     def fn(lwe_a, lwe_b, bk_dev, ks_arrays):
