@@ -52,8 +52,22 @@ class LweSampleArray:
     def shape(self):
         return self.b.shape
 
+    def _normalize_index(self, index):
+        """Resolve Ellipsis against the *message* shape so that indexing
+        never touches the trailing LWE axis of ``a``."""
+        if not isinstance(index, tuple):
+            index = (index,)
+        if any(ix is Ellipsis for ix in index):
+            pos = index.index(Ellipsis)
+            specified = sum(
+                1 for ix in index if ix is not Ellipsis and ix is not None)
+            fill = len(self.shape) - specified
+            index = index[:pos] + (slice(None),) * fill + index[pos + 1:]
+        return index
+
     def __getitem__(self, index):
         """A view over the ciphertext (indexes the message shape)."""
+        index = self._normalize_index(index)
         return LweSampleArray(
             self.params, self.a[index], self.b[index],
             self.current_variances[index])
@@ -61,6 +75,7 @@ class LweSampleArray:
     def __setitem__(self, index, value):
         if not isinstance(value, LweSampleArray):
             raise ValueError("Only assignment of ciphertexts is supported")
+        index = self._normalize_index(index)
         self.a = self.a.at[index].set(value.a)
         self.b = self.b.at[index].set(value.b)
         self.current_variances = self.current_variances.at[index].set(

@@ -1,9 +1,18 @@
-"""Encrypted integer operators (reference: ``nufhe/operators_integer.py``)."""
+"""Encrypted integer operators.
+
+``uint_min`` and the bit<->uint helpers mirror the reference
+(``nufhe/operators_integer.py``); the ripple-carry adder and the
+comparators extend the family (BASELINE config 3: 8-bit encrypted
+adder/comparator circuits built from chained bootstraps).
+
+Integers are big-endian bit arrays (index 0 = MSB), one ciphertext bit per
+encrypted bit, with a leading batch axis.
+"""
 
 import numpy as np
 
 from ..api import empty_ciphertext
-from .gates import gate_constant, gate_xnor, gate_mux
+from .gates import gate_constant, gate_xnor, gate_xor, gate_and, gate_mux
 
 
 def _uint_to_bits(x, bitsize):
@@ -62,4 +71,67 @@ def uint_min(cloud_key, answer, a, b, perf_params=None):
 
     # carry == 0 -> a is smaller: answer = carry ? b : a
     gate_mux(cloud_key, answer, tmp1, b, a, perf_params=perf_params)
+    return answer
+
+
+def _compare_ladder(cloud_key, x, y, perf_params=None):
+    """Bit-serial comparison carry: returns an encrypted bit = [x > y].
+
+    At the highest differing bit position the carry becomes x_i; if all
+    bits are equal it stays 0.  (The same XNOR+MUX ladder as ``uint_min``.)
+    """
+    params = cloud_key.params
+    itemsize = x.shape[-1]
+    carry = empty_ciphertext(params, x.shape[:-1] + (1,))
+    tmp = empty_ciphertext(params, x.shape[:-1] + (1,))
+    gate_constant(cloud_key, carry, False)
+    for i in reversed(range(itemsize)):
+        x_slice = x[..., i:i + 1]
+        y_slice = y[..., i:i + 1]
+        gate_xnor(cloud_key, tmp, x_slice, y_slice, perf_params=perf_params)
+        gate_mux(cloud_key, carry, tmp, carry, x_slice,
+                 perf_params=perf_params)
+    return carry
+
+
+def uint_gt(cloud_key, answer, a, b, perf_params=None):
+    """answer = encrypted bit [a > b] (shape (..., 1))."""
+    carry = _compare_ladder(cloud_key, a, b, perf_params=perf_params)
+    from .gates import gate_copy
+    gate_copy(cloud_key, answer, carry)
+    return answer
+
+
+def uint_lt(cloud_key, answer, a, b, perf_params=None):
+    """answer = encrypted bit [a < b] (shape (..., 1))."""
+    carry = _compare_ladder(cloud_key, b, a, perf_params=perf_params)
+    from .gates import gate_copy
+    gate_copy(cloud_key, answer, carry)
+    return answer
+
+
+def uint_add(cloud_key, answer, a, b, perf_params=None):
+    """Encrypted ripple-carry addition (mod 2^itemsize).
+
+    Per bit (LSB to MSB):
+        sum_i   = a_i XOR b_i XOR carry
+        carry'  = (a_i XOR b_i) ? carry : a_i      (majority via MUX)
+    Each bit costs two bootstrapped gates plus one double-bootstrap MUX.
+    """
+    params = cloud_key.params
+    itemsize = answer.shape[-1]
+
+    p = empty_ciphertext(params, a.shape[:-1] + (1,))       # a_i XOR b_i
+    s = empty_ciphertext(params, a.shape[:-1] + (1,))       # sum bit
+    carry = empty_ciphertext(params, a.shape[:-1] + (1,))
+    gate_constant(cloud_key, carry, False)
+
+    for i in reversed(range(itemsize)):  # LSB (last index) to MSB
+        a_slice = a[..., i:i + 1]
+        b_slice = b[..., i:i + 1]
+        gate_xor(cloud_key, p, a_slice, b_slice, perf_params=perf_params)
+        gate_xor(cloud_key, s, p, carry, perf_params=perf_params)
+        answer[..., i:i + 1] = s
+        # carry_out = p ? carry : a_i
+        gate_mux(cloud_key, carry, p, carry, a_slice, perf_params=perf_params)
     return answer

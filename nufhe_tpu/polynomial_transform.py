@@ -1,0 +1,112 @@
+"""Per-backend polynomial transform facade.
+
+API parity with the reference facade (``nufhe/polynomial_transform.py``,
+``polynomial_transform_ntt.py``, ``polynomial_transform_fft.py``): a uniform
+module interface per ``transform_type`` exposing the transformed dtype/length,
+reference (host) transforms, and transformed-space arithmetic.
+
+On device both backends are served by the same exact Z/2^32 Nussbaumer
+engine (``ops/transform.py``); these backends define the *reference domain
+semantics* (u64 Goldilocks field vs complex128) used by the oracle layer and
+available to users who need the reference's transformed representation.
+"""
+
+import numpy as np
+
+from .ref import ntt_goldilocks, fft_ref
+from .ref import transform_ref
+
+
+class _NTTTransform:
+    """Goldilocks-field NTT domain (reference: polynomial_transform_ntt.py)."""
+
+    name = 'NTT'
+
+    @staticmethod
+    def transformed_dtype():
+        return np.dtype('uint64')
+
+    @staticmethod
+    def transformed_length(n):
+        return n
+
+    forward_transform_ref = staticmethod(ntt_goldilocks.forward_transform)
+    inverse_transform_ref = staticmethod(ntt_goldilocks.inverse_transform)
+    transformed_space_add_ref = staticmethod(ntt_goldilocks.transformed_space_add)
+    transformed_space_mul_ref = staticmethod(ntt_goldilocks.transformed_space_mul)
+    transformed_space_mul_prepared_ref = staticmethod(
+        ntt_goldilocks.transformed_space_mul_prepared)
+    prepare_for_mul_ref = staticmethod(ntt_goldilocks.prepare_for_mul)
+
+
+class _FFTTransform:
+    """complex128 tangent-FFT domain (reference: polynomial_transform_fft.py)."""
+
+    name = 'FFT'
+
+    @staticmethod
+    def transformed_dtype():
+        return np.dtype('complex128')
+
+    @staticmethod
+    def transformed_length(n):
+        return n // 2
+
+    forward_transform_ref = staticmethod(fft_ref.forward_transform)
+    inverse_transform_ref = staticmethod(fft_ref.inverse_transform)
+    transformed_space_add_ref = staticmethod(fft_ref.transformed_space_add)
+    transformed_space_mul_ref = staticmethod(fft_ref.transformed_space_mul)
+    transformed_space_mul_prepared_ref = staticmethod(fft_ref.transformed_space_mul)
+
+    @staticmethod
+    def prepare_for_mul_ref(data):
+        return data  # identity for FFT (reference: polynomial_transform_fft.py:91-100)
+
+
+class _DeviceTransform:
+    """The native engine's own domain: Z/2^32 Nussbaumer, (L, R) i32 layout."""
+
+    name = 'N32'
+
+    @staticmethod
+    def transformed_dtype():
+        return np.dtype('uint64')  # host residues mod 2^64
+
+    @staticmethod
+    def transformed_length(n):
+        assert n == transform_ref.N
+        return transform_ref.L * transform_ref.R
+
+    forward_transform_ref = staticmethod(transform_ref.forward)
+    inverse_transform_ref = staticmethod(
+        lambda data: transform_ref.u64_to_i32(
+            transform_ref.inverse_unscaled(data)
+            >> np.uint64(transform_ref.INV_SHIFT)))
+    transformed_space_add_ref = staticmethod(lambda a, b: a + b)
+    transformed_space_mul_ref = staticmethod(transform_ref.smul)
+    transformed_space_mul_prepared_ref = staticmethod(transform_ref.smul)
+
+    @staticmethod
+    def prepare_for_mul_ref(data):
+        return data
+
+
+_TRANSFORMS = {
+    'NTT': _NTTTransform,
+    'FFT': _FFTTransform,
+    'N32': _DeviceTransform,
+}
+
+
+def get_transform(transform_type):
+    """Reference: ``nufhe/polynomial_transform.py:26-30``."""
+    if transform_type not in _TRANSFORMS:
+        raise ValueError("Unknown transform type: " + str(transform_type))
+    return _TRANSFORMS[transform_type]
+
+
+def transform_supported(transform_type, device=None):
+    """Both transform types are supported on every device: the exact engine
+    needs neither f64 nor u64 (reference: polynomial_transform.py:38-41
+    had to gate FFT on fp64 support)."""
+    return transform_type in _TRANSFORMS

@@ -32,3 +32,33 @@ def test_uint_min():
 
     got = bitarray_to_uintarray(nf.decrypt(secret, answer))
     assert np.array_equal(got, np.minimum(a_vals, b_vals))
+
+
+def test_uint_add_and_compare():
+    rng = nf.DeterministicRNG(8)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    a_vals = np.array([3, 250], np.uint8)
+    b_vals = np.array([5, 10], np.uint8)
+    a_bits = uintarray_to_bitarray(a_vals)
+    b_bits = uintarray_to_bitarray(b_vals)
+
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
+
+    from nufhe_tpu.models.integer import uint_add, uint_gt, uint_lt
+
+    answer = nf.empty_ciphertext(cloud.params, a_bits.shape)
+    uint_add(cloud, answer, ca, cb)
+    got = bitarray_to_uintarray(nf.decrypt(secret, answer))
+    assert np.array_equal(got, (a_vals + b_vals))  # uint8 wraps mod 256
+
+    gt = nf.empty_ciphertext(cloud.params, (2, 1))
+    uint_gt(cloud, gt, ca, cb)
+    assert np.array_equal(
+        nf.decrypt(secret, gt)[:, 0], a_vals > b_vals)
+
+    lt = nf.empty_ciphertext(cloud.params, (2, 1))
+    uint_lt(cloud, lt, ca, cb)
+    assert np.array_equal(
+        nf.decrypt(secret, lt)[:, 0], a_vals < b_vals)
