@@ -28,42 +28,33 @@ def bootstrap_key_limbs_host(bk_coeff):
     (u64 numpy) + mod-2^38 reduction + balanced radix-2^8 limb split.
 
     :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32.
-    :returns: (n, G, O, L, R, KEY_LIMBS) int8 numpy array (compact: the
-        32x-larger negacyclic expansion happens on device, because the
-        host->device link is far slower than HBM).
+    :returns: (n, G, O, L, R, KEY_LIMBS) int8 numpy array (compact; the
+        negacyclic expansion into MAC-rhs layout happens on device).
     """
     from ..ref import transform_ref as tr
 
     n_rows, mask1, decomp, mask1_o, poly_n = bk_coeff.shape
     bhat = tr.forward(bk_coeff)                       # (..., L, R) u64
-    limbs = dt.key_limbs_host(bhat)                   # (..., L, R, KL) i16
+    limbs = dt.key_limbs_host(bhat)                   # (..., L, R, KL) i8
     return limbs.reshape(
-        n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS
-    ).astype(np.int8)
+        n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS)
 
 
-@jax.jit
-def expand_key_limbs_device(limbs):
-    """Device part: (..., R, KL) i8 -> (..., R(u), R(k), KL) bf16, the
-    S'-multiplication (negacyclic 32x32) matrices of each transformed vector.
-    """
-    idx = jnp.asarray(dt._NEGA_IDX.astype(np.int32))
-    sgn = jnp.asarray(dt._NEGA_SGN.astype(np.float32), jnp.bfloat16)
-    taken = jnp.take(limbs.astype(jnp.bfloat16), idx.reshape(-1), axis=-2)
-    taken = taken.reshape(limbs.shape[:-2] + (dt.R, dt.R, limbs.shape[-1]))
-    return taken * sgn[..., None]
-
-
-def prepare_bootstrap_key_device(bk_coeff):
+def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50):
     """Full host->device preparation of the bootstrap key for the MXU MAC.
 
     :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32
         numpy array (coefficient-domain TGSW bootstrap key).
-    :returns: (n, G, O, L, R, R, KEY_LIMBS) bf16 device array,
-        G = (mask_size+1)*decomp_length, O = mask_size+1.
+    :returns: (n, L, C, Q) int8 device array — per-row MAC rhs in unsigned-
+        rotation form (signs applied per step via the static mask),
+        C = G*2R, Q = 5*O*R.
     """
     limbs = bootstrap_key_limbs_host(bk_coeff)
-    return expand_key_limbs_device(jnp.asarray(limbs))
+    build = jax.jit(dt.build_mac_rhs)
+    parts = [build(jnp.asarray(limbs[i:i + chunk]))
+             for i in range(0, limbs.shape[0], chunk)]
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return jax.block_until_ready(out)
 
 
 def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,
@@ -71,16 +62,17 @@ def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,
                                   axis_name=None):
     """One external product: returns BK_row (x) decomp(accum).
 
-    Decompose -> forward transform (exact i32) -> limb MAC on the MXU ->
+    Decompose -> forward transform (exact i32, gather-free butterflies) ->
+    ONE batched bf16 matmul on the MXU (f32 accumulation, exact integer) ->
     dual-channel inverse -> exact delta mod 2^32.
     Reference: ``nufhe/tgsw_gpu.py:110-169``.
 
     :param accum_a: (batch..., mask_size+1, N) int32.
     :param bk_dev: output of ``prepare_bootstrap_key_device``.  When running
         under ``shard_map`` with the decomposition axis G sharded over mesh
-        axis ``axis_name``, this is the local G-slice.
+        axis ``axis_name``, this is the local C-slice (whole g-blocks).
     :param axis_name: mesh axis for tensor-parallel external products: each
-        shard MACs its G-slice and the dual-channel accumulators are
+        shard MACs its g-block slice and the partial outputs are
         ``psum``-reduced before the inverse transform.
     :returns: (batch..., mask_size+1, N) int32.
     """
@@ -90,16 +82,17 @@ def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,
     digits = digits.reshape(digits.shape[:-3] + (g,) + digits.shape[-1:])
 
     if axis_name is not None:
-        g_local = bk_dev.shape[1]
+        g_local = bk_dev.shape[-2] // (dt.ACC_LIMBS * dt.R)
         start = jax.lax.axis_index(axis_name) * g_local
         digits = jax.lax.dynamic_slice_in_dim(digits, start, g_local, axis=-2)
 
     ahat = dt.forward_i32(digits)              # (..., G_local, L, R)
-    al = dt.acc_limbs(ahat)                    # (..., G_local, L, R, 2)
+    lhs = dt.mac_lhs(ahat)                     # (..., L, C_local)
 
     row = jax.lax.dynamic_index_in_dim(bk_dev, bk_row_idx, 0, keepdims=False)
-    lo, hi = dt.external_mac(al, row)
+    out = dt.external_product_mac(lhs, row)
     if axis_name is not None:
-        lo = jax.lax.psum(lo, axis_name)
-        hi = jax.lax.psum(hi, axis_name)
+        out = jax.lax.psum(out, axis_name)
+
+    lo, hi = dt.recombine_dual(out, mask1)
     return dt.inverse_dual(lo, hi)             # (..., O, N)

@@ -36,24 +36,32 @@ def monomial_shift(source, powers, minus_one=False, invert_powers=False):
     with a per-batch-element power.
 
     Replaces the reference's ``ShiftTorusPolynomial`` kernel
-    (``nufhe/polynomials_gpu.py:31-86``).  Implemented as a signed gather.
+    (``nufhe/polynomials_gpu.py:31-86``).  Implemented as a barrel shifter:
+    log2(2N) rounds of [fixed negacyclic roll, per-row select] — static
+    slice/concat data movement on the VPU instead of a per-element gather
+    (which XLA:TPU lowers catastrophically slowly).
 
     :param source: (batch..., C..., N) int32 polynomials.
     :param powers: (batch...,) int32 in [0, 2N).
     """
     n = source.shape[-1]
+    log2n = n.bit_length() - 1
     batch_ndim = powers.ndim
     p = powers.astype(jnp.int32) % (2 * n)
     if invert_powers:
         p = (2 * n - p) % (2 * n)
-
-    j = jnp.arange(n, dtype=jnp.int32)
     p_exp = p.reshape(p.shape + (1,) * (source.ndim - batch_ndim))
-    q = (j - p_exp) % (2 * n)
-    sign = jnp.where(q >= n, jnp.int32(-1), jnp.int32(1))
-    idx = q % n
-    idx_b = jnp.broadcast_to(idx, source.shape)
-    out = jnp.take_along_axis(source, idx_b, axis=-1) * sign
+
+    out = source
+    for b in range(log2n):
+        k = 1 << b
+        rolled = jnp.concatenate(
+            [-out[..., n - k:], out[..., :n - k]], axis=-1)
+        bit = ((p_exp >> b) & 1).astype(jnp.bool_)
+        out = jnp.where(bit, rolled, out)
+    # the top bit of p in [0, 2N) is multiplication by X^N = -1
+    bit = ((p_exp >> log2n) & 1).astype(jnp.bool_)
+    out = jnp.where(bit, -out, out)
     if minus_one:
         out = out - source
     return out.astype(jnp.int32)

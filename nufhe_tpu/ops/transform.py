@@ -5,15 +5,24 @@ L=64), engineered for TPU:
 
 - the forward transform of *decomposed* polynomials (digits in [-512, 512))
   is exact in plain int32: six butterfly stages whose twiddles are negacyclic
-  shifts, compiled to static gathers + sign flips (VPU data movement);
-- the key-side transform is precomputed on the host mod 2^38 and stored as
-  **balanced radix-2^10 limbs**, so the transform-domain MAC becomes a small
-  number of bf16 matmuls with f32 accumulation that are *exactly* integer
-  (products <= 2^17, sums <= 2^23 < 2^24) — this is what rides the MXU;
+  shifts.  Twiddle amounts depend linearly on the butterfly index m, so each
+  stage is a handful of *static* slice/concat rolls plus index-mask selects —
+  pure VPU data movement, **no gathers** (XLA:TPU lowers per-element gathers
+  ~30x slower than static slicing);
+- the transform-domain MAC is ONE batched matmul per bootstrap-key row:
+  ``(B, L, C) x (L, C, Q) -> (B, L, Q)`` with C = G*2R (acc limbs x
+  decomposition rows x lane) and Q = 5*O*R (shift groups x output polys x
+  lane), int8 operands with int32 accumulation (exact: |products| <= 2^14,
+  256-term sums <= 2^22) — this is what rides the MXU;
 - the unscaled inverse transform runs on a redundant two-channel i32
   representation of mod-2^38 values (lo 19 bits / hi 19 bits, lazily
-  carried), so no carry logic appears inside butterflies; a single
+  carried); i32 wraparound keeps everything exact mod 2^32 (and hi is only
+  needed mod 2^19), so no carry logic appears inside butterflies; a single
   normalization at extraction recovers the exact product mod 2^32.
+
+Every function here operates on plain jnp *values* (static slices, concats,
+selects, dot_general), so the identical code path can execute under jit/XLA
+or inside a Pallas kernel on VMEM-resident blocks.
 
 Replaces: reference NTT/FFT kernels (``nufhe/transform/ntt.mako``,
 ``fft.mako``) and the u64 field arithmetic (``arithmetic.mako``).
@@ -32,150 +41,143 @@ L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT  # inverse transform is unscaled by 2^6
 
-# Limb formats.  bf16 has an 8-bit mantissa: integers with |v| <= 2^8 are
-# exact, so every limb is balanced radix-2^8 (|limb| <= 128).
-# key side: 5 limbs cover +-2^39 > 2^38; accumulator side: 2 limbs cover 2^15.
+# Limb formats.  Both MAC operands are 8-bit (int8 or bf16-exact):
+# key side: 5 balanced radix-2^8 limbs cover mod-2^38 values;
+# acc side: 2 limbs cover the forward-transformed digits (|.| <= 2^14).
 KEY_LIMB_BITS = 8
 KEY_LIMBS = 5
 ACC_LIMB_BITS = 8
 ACC_LIMBS = 2
-# limb pairs kept in the MAC: shift = 8*(i+j) < 38  (9 pairs, 5 shift groups)
-MAC_PAIRS = tuple(
-    (i, j, ACC_LIMB_BITS * i + KEY_LIMB_BITS * j)
-    for i in range(ACC_LIMBS) for j in range(KEY_LIMBS)
-    if ACC_LIMB_BITS * i + KEY_LIMB_BITS * j < 38)
-
-_LO_BITS = 19  # dual-channel split of mod-2^38 values
+SHIFT_GROUPS = 5          # output shift groups s: value = sum_s 2^(8s) P_s
+_LO_BITS = 19             # dual-channel split of mod-2^38 values
 
 
-def _bitrev(t, bits):
-    out = 0
-    for b in range(bits):
-        out |= ((t >> b) & 1) << (bits - 1 - b)
-    return out
+def _yshift(p, e):
+    """Multiply by Y^e in S' = Z[Y]/(Y^R+1): rotate right along the last
+    axis by e with sign flip on wraparound.  Static slices only.
+    Mirrors ``ref/transform_ref.yshift``."""
+    e = e % (2 * R)
+    neg, e = e >= R, e % R
+    if e != 0:
+        p = jnp.concatenate([-p[..., R - e:], p[..., :R - e]], axis=-1)
+    return -p if neg else p
 
 
-def _build_stage_tables(inverse):
-    """Per-stage flat gather tables for the L-point DFT over S'.
+def _bitrev_l(x):
+    """Bit-reverse the L axis of (..., L, R): reshape L into LOG_L binary
+    axes, reverse their order, reshape back.  A static transpose."""
+    lead = x.ndim - 2
+    x = x.reshape(x.shape[:-2] + (2,) * LOG_L + (R,))
+    perm = (tuple(range(lead))
+            + tuple(lead + LOG_L - 1 - i for i in range(LOG_L))
+            + (lead + LOG_L,))
+    x = jnp.transpose(x, perm)
+    return x.reshape(x.shape[:lead] + (L, R))
 
-    Each stage maps flat (L*R,) -> (L*R,):
-        new[f] = old[I1[f]] + S2[f] * old[I2[f]]
-    (first term always has sign +1).  The initial bit-reversal permutation is
-    folded into stage 0's indices.  Structure identical to
-    ``ref/transform_ref._dft_l``.
+
+def dft_stages(x, inverse):
+    """L-point Cooley-Tukey DFT over S' with root Y (or Y^-1), on (..., L, R)
+    int32 (exact mod 2^32 by wraparound).
+
+    Twiddles Y^(c*m) with c static per stage and m the butterfly index are
+    applied via the binary decomposition of m: sub-round b rolls the whole
+    tensor by Y^(c*2^b) and selects it where bit b of m is set.  All ops are
+    static; structure mirrors ``ref/transform_ref._dft_l``.
     """
+    x = _bitrev_l(x)
     base = -1 if inverse else 1
-    stages = []
     for s in range(LOG_L):
         mmax = 1 << s
-        istep = mmax * 2
-        i1 = np.zeros(L * R, np.int32)
-        i2 = np.zeros(L * R, np.int32)
-        s2 = np.zeros(L * R, np.int32)
-        for t in range(L):
-            pos = t % istep
-            if pos < mmax:
-                i_slot, j_slot, m, sigma = t, t + mmax, pos, 1
-            else:
-                i_slot, j_slot, m, sigma = t - mmax, t, pos - mmax, -1
-            e = (base * m * (1 << (LOG_L - s - 1))) % (2 * R)
-            p1, p2 = i_slot, j_slot
-            if s == 0:  # fold bit-reversal into the reads
-                p1, p2 = _bitrev(p1, LOG_L), _bitrev(p2, LOG_L)
-            for k in range(R):
-                f = t * R + k
-                i1[f] = p1 * R + k
-                q = (k - e) % (2 * R)
-                i2[f] = p2 * R + (q % R)
-                s2[f] = sigma * (1 if q < R else -1)
-        stages.append((i1, i2, s2))
-    return stages
-
-
-_FWD_STAGES = _build_stage_tables(inverse=False)
-_INV_STAGES = _build_stage_tables(inverse=True)
-
-# fold C_j = P_j + Y * P_{j+M}; flat tables over (M*R,) reading (L*R,)
-_FOLD_I1 = np.zeros(M * R, np.int32)
-_FOLD_I2 = np.zeros(M * R, np.int32)
-_FOLD_S2 = np.zeros(M * R, np.int32)
-for _j in range(M):
-    for _k in range(R):
-        _f = _j * R + _k
-        _FOLD_I1[_f] = _j * R + _k
-        _q = (_k - 1) % (2 * R)
-        _FOLD_I2[_f] = (_j + M) * R + (_q % R)
-        _FOLD_S2[_f] = 1 if _q < R else -1
-
-
-def _apply_stages(flat, stages):
-    """flat: (..., L*R) int32; applies the butterfly stage tables."""
-    for i1, i2, s2 in stages:
-        flat = jnp.take(flat, i1, axis=-1) + jnp.take(flat, i2, axis=-1) * s2
-    return flat
+        nblk = L // (2 * mmax)
+        c = base * (1 << (LOG_L - s - 1))
+        v = x.reshape(x.shape[:-2] + (nblk, 2, mmax, R))
+        lo = v[..., 0, :, :]
+        hi = v[..., 1, :, :]
+        for b in range(s):
+            rolled = _yshift(hi, c * (1 << b))
+            mbit = (np.arange(mmax) >> b) & 1
+            mbit = jnp.asarray(mbit.astype(bool)).reshape(mmax, 1)
+            hi = jnp.where(mbit, rolled, hi)
+        x = jnp.stack([lo + hi, lo - hi], axis=-3)
+        x = x.reshape(x.shape[:-4] + (L, R))
+    return x
 
 
 def forward_i32(x):
     """Forward transform of small-integer polynomials (exact in int32).
 
-    :param x: (..., N) int32 with |values| <= 2^25 (so six doubling stages
-        stay inside int32); the bootstrap uses digits in [-512, 512).
-    :returns: (..., L, R) int32.
+    :param x: (..., N) int32 with |values| <= 2^25 (six doubling stages stay
+        inside int32); the bootstrap uses digits in [-512, 512).
+    :returns: (..., L, R) int32, |values| <= 32 * |x|.
     """
     blocks = x.reshape(x.shape[:-1] + (R, M))       # [i, j]
     A = jnp.swapaxes(blocks, -1, -2)                # [j, i] = A_j vectors
     padded = jnp.concatenate(
         [A, jnp.zeros(A.shape[:-2] + (L - M, R), x.dtype)], axis=-2)
-    flat = padded.reshape(padded.shape[:-2] + (L * R,))
-    flat = _apply_stages(flat, _FWD_STAGES)
-    return flat.reshape(flat.shape[:-1] + (L, R))
+    return dft_stages(padded, inverse=False)
 
 
-def acc_limbs(ahat):
-    """Split forward-transformed digits into 2 balanced radix-2^8 bf16 limbs.
+def mac_lhs(ahat, dtype=None):
+    """Split forward-transformed digits into the MAC lhs operand.
 
-    :param ahat: (..., L, R) int32, |values| <= 2^14.
-    :returns: (..., L, R, ACC_LIMBS) bfloat16 (exact: |limbs| <= 128).
+    :param ahat: (..., G, L, R) int32, |values| <= 2^14.
+    :returns: (..., L, C) bf16 (exact: |limbs| <= 128) with
+        C = G*ACC_LIMBS*R, flat index
+        c = g*(2R) + i*R + u  (G leading so tensor-parallel shards slice
+        contiguous g-blocks).
     """
-    a0 = ((ahat + 128) & 255) - 128
-    a1 = (ahat - a0) >> ACC_LIMB_BITS
-    return jnp.stack([a0, a1], axis=-1).astype(jnp.bfloat16)
+    if dtype is None:
+        dtype = mac_dtype()
+    a0 = ((ahat + 128) & 255) - 128                 # [-128, 127]
+    a1 = (ahat - a0) >> ACC_LIMB_BITS               # [-64, 64]
+    al = jnp.stack([a0, a1], axis=-2)               # (..., G, L, i, R)
+    al = jnp.moveaxis(al, -4, -3)                   # (..., L, G, i, R)
+    g = ahat.shape[-3]
+    return al.reshape(al.shape[:-3] + (g * ACC_LIMBS * R,)).astype(dtype)
 
 
-def key_limbs_host(bhat_u64):
-    """Host-side: split key transforms (residues mod 2^64, needed mod 2^38)
-    into KEY_LIMBS balanced radix-2^8 limbs.
+def external_product_mac(lhs, rhs_unsigned):
+    """The MXU MAC: out[..., l, q] = sum_c lhs[..., l, c] * rhs[l, c, q].
 
-    :param bhat_u64: numpy uint64, output of ``ref.transform_ref.forward``.
-    :returns: numpy int16 (..., KEY_LIMBS), exact: |limbs| <= 128.
+    bf16 x bf16 with f32 accumulation — exact integer arithmetic: operands
+    are 8-bit integers (|.| <= 128), products <= 2^14, partial sums over
+    C <= 512 terms stay below 2^24.  ``rhs_unsigned`` is int8 from
+    ``build_mac_rhs``; signs applied here.
     """
-    v = (bhat_u64 & np.uint64(2**38 - 1)).astype(np.int64)
-    v = v - ((v >> 37) << 38)  # center into [-2^37, 2^37)
-    limbs = []
-    for _ in range(KEY_LIMBS):
-        l0 = ((v + 128) & 255) - 128
-        limbs.append(l0.astype(np.int16))
-        v = (v - l0) >> KEY_LIMB_BITS
-    return np.stack(limbs, axis=-1)
+    rhs = rhs_unsigned.astype(mac_dtype()) * sign_mask(
+        rhs_unsigned.shape[-2], rhs_unsigned.shape[-1])
+    if rhs.ndim == 3:
+        out = jnp.einsum('...lc,lcq->...lq', lhs, rhs,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum('...lc,...lcq->...lq', lhs, rhs,
+                         preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
 
 
-def _dual_channel_from_partials(partials):
-    """Combine shift-grouped MAC partials into (lo, hi) i32 channels.
+def recombine_dual(out, mask1):
+    """Shift-group partials -> dual-channel mod-2^38 accumulators.
 
-    value = sum_s partials[s] * 2^s  (mod 2^38), represented as
-    lo + 2^19 * hi with lazy carries.
+    :param out: (..., L, Q) int32 MAC output, Q = SHIFT_GROUPS*O*R with flat
+        q = s*(O*R) + o*R + k; partials |P_s| <= 2^22.
+    :returns: (lo, hi): (..., O, L, R) int32 channels of
+        V = sum_s 2^(8s) P_s, V = lo + 2^19 hi; lo exact (|lo| < 3*2^19),
+        hi correct mod 2^19 (wraparound-safe).
     """
+    v = out.reshape(out.shape[:-2] + (L, SHIFT_GROUPS, mask1, R))
+    v = jnp.moveaxis(v, -2, -4)                     # (..., O, L, S, R)
     lo = None
     hi = None
-    for shift, p in partials:
+    for s in range(SHIFT_GROUPS):
+        p = v[..., s, :]
+        shift = KEY_LIMB_BITS * s
         if shift < _LO_BITS:
             rem = _LO_BITS - shift
             hi_c = p >> rem
             lo_c = (p & ((1 << rem) - 1)) << shift
+            lo = lo_c if lo is None else lo + lo_c
         else:
             hi_c = p << (shift - _LO_BITS)
-            lo_c = None
-        lo = lo_c if lo is None else (lo if lo_c is None else lo + lo_c)
         hi = hi_c if hi is None else hi + hi_c
     return lo, hi
 
@@ -183,92 +185,119 @@ def _dual_channel_from_partials(partials):
 def inverse_dual(lo, hi):
     """Unscaled inverse transform + fold + extraction.
 
-    :param lo, hi: (..., L, R) int32 dual-channel mod-2^38 values
-        (|channel| <= 2^22 so six doubling stages stay exact).
+    :param lo, hi: (..., L, R) int32 dual-channel mod-2^38 values.
     :returns: (..., N) int32: the exact negacyclic product mod 2^32
         (i.e. (value >> 6) mod 2^32).
     """
-    lo = lo.reshape(lo.shape[:-2] + (L * R,))
-    hi = hi.reshape(hi.shape[:-2] + (L * R,))
-    lo = _apply_stages(lo, _INV_STAGES)
-    hi = _apply_stages(hi, _INV_STAGES)
-    # fold
-    lo = jnp.take(lo, _FOLD_I1, axis=-1) + jnp.take(lo, _FOLD_I2, axis=-1) * _FOLD_S2
-    hi = jnp.take(hi, _FOLD_I1, axis=-1) + jnp.take(hi, _FOLD_I2, axis=-1) * _FOLD_S2
+    lo = dft_stages(lo, inverse=True)
+    hi = dft_stages(hi, inverse=True)
+    # fold C_j = P_j + Y * P_{j+M}
+    lo = lo[..., :M, :] + _yshift(lo[..., M:, :], 1)
+    hi = hi[..., :M, :] + _yshift(hi[..., M:, :], 1)
     # normalize: V = lo + 2^19 hi  (mod 2^38); result = (V >> 6) mod 2^32
     carry = lo >> _LO_BITS
     lo_n = lo - (carry << _LO_BITS)          # in [0, 2^19)
     hi_n = (hi + carry) & ((1 << _LO_BITS) - 1)
     res = (lo_n >> INV_SHIFT) | (hi_n << (_LO_BITS - INV_SHIFT))
-    # reorder: res is C_j[i] over flat (j*R + i); output index is i*M + j
-    out = res.reshape(res.shape[:-1] + (M, R))
-    out = jnp.swapaxes(out, -1, -2)
+    # reorder: res[j, i] over (M, R); output index is i*M + j
+    out = jnp.swapaxes(res, -1, -2)
     return out.reshape(out.shape[:-2] + (N,)).astype(jnp.int32)
 
 
-def mac_partials(ahat_l, key_l):
-    """Transform-domain multiply-accumulate, limb-decomposed.
+# --- key preparation (host limb split + device negacyclic expansion) ---
 
-    :param ahat_l: (..., G, L, R, ACC_LIMBS) bf16 — forward-transformed,
-        limb-split decomposition digits; G = (mask_size+1)*decomp_length.
-    :param key_l: (G, O, L, R, R, KEY_LIMBS) bf16 — negacyclic-expanded,
-        limb-split key row: key_l[g, o, t, u, k] is the (u, k) entry of the
-        S'-multiplication matrix of bhat[g, o, t].
-    :returns: list of (shift, (..., O, L, R) int32 partials), shift-grouped.
+
+def key_limbs_host(bhat_u64):
+    """Host-side: split key transforms (residues mod 2^64, needed mod 2^38)
+    into KEY_LIMBS balanced radix-2^8 limbs.
+
+    :param bhat_u64: numpy uint64, output of ``ref.transform_ref.forward``.
+    :returns: numpy int8 (..., KEY_LIMBS), exact: |limbs| <= 128.
     """
-    outs = {}
-    for i, j, shift in MAC_PAIRS:
-        p = jnp.einsum(
-            '...gtu,gotuk->...otk',
-            ahat_l[..., i], key_l[..., j],
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        outs[shift] = outs.get(shift, 0) + p
-    return sorted(outs.items())
+    v = (bhat_u64 & np.uint64(2**38 - 1)).astype(np.int64)
+    v = v - ((v >> 37) << 38)  # center into [-2^37, 2^37)
+    limbs = []
+    for _ in range(KEY_LIMBS):
+        l0 = ((v + 128) & 255) - 128
+        limbs.append(l0.astype(np.int8))
+        v = (v - l0) >> KEY_LIMB_BITS
+    return np.stack(limbs, axis=-1)
 
 
-def external_mac(ahat_l, key_l):
-    """Full transform-domain MAC -> dual-channel accumulators."""
-    return _dual_channel_from_partials(mac_partials(ahat_l, key_l))
+def mac_dtype():
+    """MAC operand dtype: bf16 on TPU (MXU-native), f32 elsewhere (the CPU
+    backend has no bf16 dot).  Both are exact for 8-bit integer operands
+    with f32 accumulation."""
+    return jnp.bfloat16 if jax.default_backend() == 'tpu' else jnp.float32
 
 
-# --- host-side helpers for key preparation ---
+def sign_mask(c_size: int, q_size: int):
+    """The negacyclic sign pattern sgn(u, k) = +1 if k >= u else -1, tiled
+    over the (C, Q) MAC operand layout (u = c mod R, k = q mod R).
 
-_NEGA_IDX = np.zeros((R, R), np.int64)
-_NEGA_SGN = np.zeros((R, R), np.int64)
-for _u in range(R):
-    for _k in range(R):
-        _NEGA_IDX[_u, _k] = (_k - _u) % R
-        _NEGA_SGN[_u, _k] = 1 if _k >= _u else -1
-
-
-def expand_key_limbs_host(limbs):
-    """(..., R, KEY_LIMBS) int16 -> (..., R(u), R(k), KEY_LIMBS) bf16 matrices.
-
-    mat[u, k] = sgn(u, k) * limbs[(k - u) mod R]: the matrix of
-    "negacyclic convolution by this vector" used by the MAC einsum.
+    Signs are applied at matmul time (bf16) rather than baked into the
+    stored int8 rhs: limb value -128 negates to +128, which int8 cannot
+    hold but bf16 represents exactly.
     """
-    expanded = limbs[..., _NEGA_IDX, :] * _NEGA_SGN[..., None].astype(np.int16)
-    return expanded
+    u = np.arange(c_size) % R
+    k = np.arange(q_size) % R
+    sgn = np.where(k[None, :] >= u[:, None], 1.0, -1.0).astype(np.float32)
+    return jnp.asarray(sgn, mac_dtype())
+
+
+def build_mac_rhs(limbs):
+    """Device-side: compact transformed-key limbs -> the MAC rhs operand
+    (unsigned-rotation form; apply ``sign_mask`` at matmul time).
+
+    rhs[..., t, c, q] with c = g*(2R) + i*R + u, q = s*(O*R) + o*R + k is
+    limbs[g, o, t, (k-u)%R, s-i] (zero outside 0 <= s-i < KEY_LIMBS), so
+    that sign_mask * rhs is the (u -> k) negacyclic-multiplication matrix
+    of bhat[g, o, t] limb (s - i).  Expansion is R static rolls (matrix row
+    u is the limb vector rotated by u) — no gathers.
+
+    :param limbs: (..., G, O, L, R, KEY_LIMBS) int8 device array.
+    :returns: (..., L, G*2R, SHIFT_GROUPS*O*R) int8.
+    """
+    g, o_sz = limbs.shape[-5], limbs.shape[-4]
+    lead = limbs.shape[:-5]
+    # rows[..., u, k, j] = limbs[..., (k-u)%R, j]
+    rows = jnp.stack([jnp.roll(jnp.moveaxis(limbs, -1, -2), u, axis=-1)
+                      for u in range(R)], axis=-3)   # (..., G,O,L,u,j,k)
+    rows = jnp.moveaxis(rows, -2, -1)                # (..., G,O,L,u,k,j)
+    zero = jnp.zeros(lead + (g, o_sz, L, R, R), jnp.int8)
+
+    def limb(i, s):
+        j = s - i
+        if 0 <= j < KEY_LIMBS:
+            return rows[..., j]
+        return zero
+
+    # arr axes: [i, s] + lead + [G, O, L, u, k]
+    arr = jnp.stack(
+        [jnp.stack([limb(i, s) for s in range(SHIFT_GROUPS)], axis=0)
+         for i in range(ACC_LIMBS)], axis=0)
+    nl = len(lead)
+    i_ax, s_ax = 0, 1
+    g_ax, o_ax, l_ax, u_ax, k_ax = (2 + nl, 3 + nl, 4 + nl, 5 + nl, 6 + nl)
+    # target: lead + [L, (G, i, u), (S, O, k)]
+    perm = (tuple(range(2, 2 + nl))
+            + (l_ax, g_ax, i_ax, u_ax, s_ax, o_ax, k_ax))
+    arr = jnp.transpose(arr, perm)
+    return arr.reshape(
+        lead + (L, g * ACC_LIMBS * R, SHIFT_GROUPS * o_sz * R))
 
 
 def negacyclic_mul_device(a, b_coeff):
-    """Standalone exact negacyclic product on device (for tests/API parity).
+    """Standalone exact negacyclic product on device (tests/API parity).
 
-    a: (..., N) int32 small digits (|a| <= 2^14 after transform);
-    b_coeff: (..., N) int32 arbitrary torus values (key side, transformed on
-    host).
+    a: (..., N) int32 small digits (|a| <= 2^9); b_coeff: (..., N) int32
+    arbitrary torus values (key side, transformed on host).
     """
-    ahat = forward_i32(a)
-    al = acc_limbs(ahat)
-    bh = tr.forward(np.asarray(b_coeff))
-    kl = key_limbs_host(bh)
-    ke = jnp.asarray(
-        expand_key_limbs_host(kl).astype(np.float32), jnp.bfloat16)
-    partials = {}
-    for i, j, shift in MAC_PAIRS:
-        p = jnp.einsum(
-            '...tu,...tuk->...tk', al[..., i], ke[..., j],
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        partials[shift] = partials.get(shift, 0) + p
-    lo, hi = _dual_channel_from_partials(sorted(partials.items()))
-    return inverse_dual(lo, hi)
+    ahat = forward_i32(a)[..., None, :, :]           # G = 1
+    lhs = mac_lhs(ahat)
+    bh = tr.forward(np.asarray(b_coeff))             # (..., L, R) u64
+    limbs = key_limbs_host(bh)[..., None, None, :, :, :]  # (..., G=1,O=1,L,R,KL)
+    rhs = build_mac_rhs(jnp.asarray(limbs))
+    out = external_product_mac(lhs, rhs)
+    lo, hi = recombine_dual(out, mask1=1)
+    return inverse_dual(lo[..., 0, :, :], hi[..., 0, :, :])

@@ -59,8 +59,8 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
     decomposition limbs over 'model' (psum-accumulated), keyswitch local.
 
     Returns ``fn(lwe_a, lwe_b, bk_dev, ks_arrays) -> (a, b, cv)``.
-    ``bk_dev`` must be passed G-sharded over 'model'
-    (``NamedSharding(mesh, P(None, 'model'))``).
+    ``bk_dev`` must be passed C-sharded over 'model'
+    (``shard_bootstrap_key``).
     """
     try:
         from jax import shard_map
@@ -75,7 +75,8 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
 
     mapped = shard_map(
         step, mesh=mesh,
-        in_specs=(P('data'), P('data'), P(None, 'model'), P(), P()),
+        in_specs=(P('data'), P('data'), P(None, None, 'model', None),
+                  P(), P()),
         out_specs=(P('data'), P('data'), P('data')))
 
     @jax.jit
@@ -87,6 +88,7 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
 
 
 def shard_bootstrap_key(bk_dev, mesh):
-    """Place the device bootstrap key G-sharded over 'model'."""
-    spec = P(None, 'model', *([None] * (bk_dev.ndim - 2)))
-    return jax.device_put(bk_dev, NamedSharding(mesh, spec))
+    """Place the device bootstrap key (n, L, C, Q) sharded over 'model'
+    along the MAC contraction axis C (whole g-blocks of size 2R)."""
+    return jax.device_put(
+        bk_dev, NamedSharding(mesh, P(None, None, 'model', None)))
