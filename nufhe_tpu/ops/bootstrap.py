@@ -31,25 +31,39 @@ def t32_to_phase(phase, mspace_size: int):
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
+    The accumulator lives in the flat q-layout for the whole loop
+    (``ops/flat_engine``); layout conversion happens once at entry/exit.
+    Reference: the fused ``nufhe/blind_rotate.mako`` persistent kernel.
+
     :param accum_a: (B, mask_size+1, N) int32.
-    :param bk_dev: device bootstrap key (n, G, O, L, R, R, KL) bf16
-        (G-sharded when ``axis_name`` is given).
+    :param bk_dev: device bootstrap key (n, L, C, Q) int8
+        (C-sharded when ``axis_name`` is given).
     :param bara: (B, n) int32 in [0, 2N).
     """
+    from . import flat_engine as fe
+    from . import transform as dt
+
     offset = int(tgsw_params.offset)
     decomp_length = tgsw_params.decomp_length
     log2_base = tgsw_params.bs_log2_base
+    mask1 = tgsw_params.tlwe_params.mask_size + 1
     n = bara.shape[-1]
+    lead = accum_a.shape[:-2]
+
+    acc_q = fe.q_from_n(accum_a).reshape((-1, mask1 * fe.N))
+    bara2 = bara.reshape((-1, n))
 
     def body(i, acc):
-        powers = jax.lax.dynamic_index_in_dim(bara, i, axis=-1, keepdims=False)
-        shifted = dtlwe.monomial_shift(acc, powers, minus_one=True)
-        delta = dtgsw.tgsw_transformed_external_mul(
-            shifted, bk_dev, i, offset, decomp_length, log2_base,
+        powers = jax.lax.dynamic_index_in_dim(
+            bara2, i, axis=-1, keepdims=True)
+        row = jax.lax.dynamic_index_in_dim(bk_dev, i, 0, keepdims=False)
+        return fe.external_step(
+            acc, powers, row, mask1=mask1, decomp_length=decomp_length,
+            log2_base=log2_base, offset=offset, mac_dtype=dt.mac_dtype(),
             axis_name=axis_name)
-        return (acc + delta).astype(jnp.int32)
 
-    return jax.lax.fori_loop(0, n, body, accum_a)
+    acc_q = jax.lax.fori_loop(0, n, body, acc_q)
+    return fe.n_from_q(acc_q.reshape(lead + (mask1, fe.N)))
 
 
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,

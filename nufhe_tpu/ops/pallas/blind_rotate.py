@@ -1,0 +1,93 @@
+"""Pallas TPU kernel: the fused CMUX step of the blind rotation.
+
+One ``pallas_call`` executes a full external-product step — barrel monomial
+rotation, gadget decomposition, DIF forward transform, per-slot MXU MACs
+against the bootstrap-key row, dual-channel DIT inverse, accumulation —
+entirely in VMEM per batch tile.  Under XLA the same math
+(``ops/flat_engine.external_step``) materializes every roll/select pass
+through HBM (~50 passes x batch x 8 KB per step); here only the
+accumulator tile, the bara slice, and the compact int8 key row touch HBM.
+
+This is the TPU analogue of the reference's persistent fused kernel
+``nufhe/blind_rotate.mako:18-226`` (shared-memory NTT + MAC + accumulate),
+with the 500-step loop kept in XLA (``lax.fori_loop``) and batch as the
+grid axis.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import flat_engine as fe
+
+
+def make_external_step(mask1: int, decomp_length: int, log2_base: int,
+                       offset: int, batch_tile: int = 128,
+                       mac_dtype=jnp.bfloat16, interpret: bool = False,
+                       vmem_limit_mb: int = 100):
+    """Build ``step(acc_q, p, rhs_row) -> acc_q`` running as a Pallas kernel.
+
+    :param batch_tile: rows per grid cell; the caller pads the batch to a
+        multiple of this.
+    :param vmem_limit_mb: scoped-VMEM budget for the Mosaic compiler (the
+        16 MB default is far below the physical VMEM).
+    """
+    lanes = mask1 * fe.N
+
+    def kernel(p_ref, acc_ref, rhs_ref, out_ref):
+        out_ref[:, :] = fe.external_step(
+            acc_ref[:, :], p_ref[:, :], rhs_ref[:, :, :],
+            mask1=mask1, decomp_length=decomp_length,
+            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype)
+
+    def step(acc_q, p, rhs_row):
+        b = acc_q.shape[0]
+        bt = min(batch_tile, b)
+        assert b % bt == 0, (b, bt)
+        c_size, q_size = rhs_row.shape[-2], rhs_row.shape[-1]
+        return pl.pallas_call(
+            kernel,
+            grid=(b // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, lanes), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((fe.L, c_size, q_size), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bt, lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, lanes), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
+            interpret=interpret,
+        )(p, acc_q, rhs_row)
+
+    return step
+
+
+def blind_rotate_pallas(acc_q, bk_dev, bara, *, mask1, decomp_length,
+                        log2_base, offset, batch_tile=128,
+                        mac_dtype=jnp.bfloat16, interpret=False):
+    """Full n-step blind rotation over the Pallas step kernel.
+
+    :param acc_q: (B, mask1*N) int32 q-layout accumulator (B padded to a
+        multiple of ``batch_tile`` by the caller).
+    :param bk_dev: (n, L, C, Q) int8 MAC rhs rows.
+    :param bara: (B, n) int32 in [0, 2N).
+    """
+    n = bara.shape[-1]
+    step = make_external_step(
+        mask1, decomp_length, log2_base, offset,
+        batch_tile=batch_tile, mac_dtype=mac_dtype, interpret=interpret)
+
+    def body(i, acc):
+        powers = jax.lax.dynamic_index_in_dim(bara, i, axis=-1, keepdims=True)
+        row = jax.lax.dynamic_index_in_dim(bk_dev, i, 0, keepdims=False)
+        return step(acc, powers, row)
+
+    return jax.lax.fori_loop(0, n, body, acc_q)

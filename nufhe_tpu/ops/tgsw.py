@@ -62,37 +62,30 @@ def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,
                                   axis_name=None):
     """One external product: returns BK_row (x) decomp(accum).
 
-    Decompose -> forward transform (exact i32, gather-free butterflies) ->
-    ONE batched bf16 matmul on the MXU (f32 accumulation, exact integer) ->
-    dual-channel inverse -> exact delta mod 2^32.
+    Decompose -> gather-free DIF forward transform (exact i32) -> ONE
+    batched bf16 matmul per slot on the MXU (f32 accumulation, exact
+    integer) -> dual-channel DIT inverse -> exact result mod 2^32.
+    Implementation: ``ops/flat_engine.external_mul_flat``.
     Reference: ``nufhe/tgsw_gpu.py:110-169``.
 
     :param accum_a: (batch..., mask_size+1, N) int32.
     :param bk_dev: output of ``prepare_bootstrap_key_device``.  When running
-        under ``shard_map`` with the decomposition axis G sharded over mesh
+        under ``shard_map`` with the decomposition axis sharded over mesh
         axis ``axis_name``, this is the local C-slice (whole g-blocks).
     :param axis_name: mesh axis for tensor-parallel external products: each
-        shard MACs its g-block slice and the partial outputs are
+        shard MACs its g-block slice and the dual-channel MAC outputs are
         ``psum``-reduced before the inverse transform.
     :returns: (batch..., mask_size+1, N) int32.
     """
+    from . import flat_engine as fe
+
     mask1 = accum_a.shape[-2]
-    digits = tgsw_polynomial_decomp(accum_a, offset, decomp_length, log2_base)
-    g = mask1 * decomp_length
-    digits = digits.reshape(digits.shape[:-3] + (g,) + digits.shape[-1:])
-
-    if axis_name is not None:
-        g_local = bk_dev.shape[-2] // (dt.ACC_LIMBS * dt.R)
-        start = jax.lax.axis_index(axis_name) * g_local
-        digits = jax.lax.dynamic_slice_in_dim(digits, start, g_local, axis=-2)
-
-    ahat = dt.forward_i32(digits)              # (..., G_local, L, R)
-    lhs = dt.mac_lhs(ahat)                     # (..., L, C_local)
-
+    lead = accum_a.shape[:-2]
+    sample_q = fe.q_from_n(accum_a).reshape((-1, mask1 * fe.N))
     row = jax.lax.dynamic_index_in_dim(bk_dev, bk_row_idx, 0, keepdims=False)
-    out = dt.external_product_mac(lhs, row)
-    if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-
-    lo, hi = dt.recombine_dual(out, mask1)
-    return dt.inverse_dual(lo, hi)             # (..., O, N)
+    out = fe.external_mul_flat(
+        sample_q, row, mask1=mask1, decomp_length=decomp_length,
+        log2_base=log2_base, offset=int(offset), mac_dtype=dt.mac_dtype(),
+        axis_name=axis_name)
+    out = out.reshape(lead + (mask1, fe.N))
+    return fe.n_from_q(out)

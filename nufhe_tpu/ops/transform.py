@@ -117,91 +117,7 @@ def forward_i32(x):
     return dft_stages(padded, inverse=False)
 
 
-def mac_lhs(ahat, dtype=None):
-    """Split forward-transformed digits into the MAC lhs operand.
 
-    :param ahat: (..., G, L, R) int32, |values| <= 2^14.
-    :returns: (..., L, C) bf16 (exact: |limbs| <= 128) with
-        C = G*ACC_LIMBS*R, flat index
-        c = g*(2R) + i*R + u  (G leading so tensor-parallel shards slice
-        contiguous g-blocks).
-    """
-    if dtype is None:
-        dtype = mac_dtype()
-    a0 = ((ahat + 128) & 255) - 128                 # [-128, 127]
-    a1 = (ahat - a0) >> ACC_LIMB_BITS               # [-64, 64]
-    al = jnp.stack([a0, a1], axis=-2)               # (..., G, L, i, R)
-    al = jnp.moveaxis(al, -4, -3)                   # (..., L, G, i, R)
-    g = ahat.shape[-3]
-    return al.reshape(al.shape[:-3] + (g * ACC_LIMBS * R,)).astype(dtype)
-
-
-def external_product_mac(lhs, rhs_unsigned):
-    """The MXU MAC: out[..., l, q] = sum_c lhs[..., l, c] * rhs[l, c, q].
-
-    bf16 x bf16 with f32 accumulation — exact integer arithmetic: operands
-    are 8-bit integers (|.| <= 128), products <= 2^14, partial sums over
-    C <= 512 terms stay below 2^24.  ``rhs_unsigned`` is int8 from
-    ``build_mac_rhs``; signs applied here.
-    """
-    rhs = rhs_unsigned.astype(mac_dtype()) * sign_mask(
-        rhs_unsigned.shape[-2], rhs_unsigned.shape[-1])
-    if rhs.ndim == 3:
-        out = jnp.einsum('...lc,lcq->...lq', lhs, rhs,
-                         preferred_element_type=jnp.float32)
-    else:
-        out = jnp.einsum('...lc,...lcq->...lq', lhs, rhs,
-                         preferred_element_type=jnp.float32)
-    return out.astype(jnp.int32)
-
-
-def recombine_dual(out, mask1):
-    """Shift-group partials -> dual-channel mod-2^38 accumulators.
-
-    :param out: (..., L, Q) int32 MAC output, Q = SHIFT_GROUPS*O*R with flat
-        q = s*(O*R) + o*R + k; partials |P_s| <= 2^22.
-    :returns: (lo, hi): (..., O, L, R) int32 channels of
-        V = sum_s 2^(8s) P_s, V = lo + 2^19 hi; lo exact (|lo| < 3*2^19),
-        hi correct mod 2^19 (wraparound-safe).
-    """
-    v = out.reshape(out.shape[:-2] + (L, SHIFT_GROUPS, mask1, R))
-    v = jnp.moveaxis(v, -2, -4)                     # (..., O, L, S, R)
-    lo = None
-    hi = None
-    for s in range(SHIFT_GROUPS):
-        p = v[..., s, :]
-        shift = KEY_LIMB_BITS * s
-        if shift < _LO_BITS:
-            rem = _LO_BITS - shift
-            hi_c = p >> rem
-            lo_c = (p & ((1 << rem) - 1)) << shift
-            lo = lo_c if lo is None else lo + lo_c
-        else:
-            hi_c = p << (shift - _LO_BITS)
-        hi = hi_c if hi is None else hi + hi_c
-    return lo, hi
-
-
-def inverse_dual(lo, hi):
-    """Unscaled inverse transform + fold + extraction.
-
-    :param lo, hi: (..., L, R) int32 dual-channel mod-2^38 values.
-    :returns: (..., N) int32: the exact negacyclic product mod 2^32
-        (i.e. (value >> 6) mod 2^32).
-    """
-    lo = dft_stages(lo, inverse=True)
-    hi = dft_stages(hi, inverse=True)
-    # fold C_j = P_j + Y * P_{j+M}
-    lo = lo[..., :M, :] + _yshift(lo[..., M:, :], 1)
-    hi = hi[..., :M, :] + _yshift(hi[..., M:, :], 1)
-    # normalize: V = lo + 2^19 hi  (mod 2^38); result = (V >> 6) mod 2^32
-    carry = lo >> _LO_BITS
-    lo_n = lo - (carry << _LO_BITS)          # in [0, 2^19)
-    hi_n = (hi + carry) & ((1 << _LO_BITS) - 1)
-    res = (lo_n >> INV_SHIFT) | (hi_n << (_LO_BITS - INV_SHIFT))
-    # reorder: res[j, i] over (M, R); output index is i*M + j
-    out = jnp.swapaxes(res, -1, -2)
-    return out.reshape(out.shape[:-2] + (N,)).astype(jnp.int32)
 
 
 # --- key preparation (host limb split + device negacyclic expansion) ---
@@ -245,21 +161,38 @@ def sign_mask(c_size: int, q_size: int):
     return jnp.asarray(sgn, mac_dtype())
 
 
-def build_mac_rhs(limbs):
+def _bitrev6(t):
+    out = 0
+    for b in range(LOG_L):
+        out |= ((t >> b) & 1) << (LOG_L - 1 - b)
+    return out
+
+
+BITREV_L = np.array([_bitrev6(t) for t in range(L)])
+
+
+def build_mac_rhs(limbs, bitrev_order=True, n_groups=6):
     """Device-side: compact transformed-key limbs -> the MAC rhs operand
     (unsigned-rotation form; apply ``sign_mask`` at matmul time).
 
-    rhs[..., t, c, q] with c = g*(2R) + i*R + u, q = s*(O*R) + o*R + k is
-    limbs[g, o, t, (k-u)%R, s-i] (zero outside 0 <= s-i < KEY_LIMBS), so
+    rhs[..., p, c, q] with c = g*(2R) + i*R + u, q = s*(O*R) + o*R + k is
+    limbs[g, o, t(p), (k-u)%R, s-i] (zero outside 0 <= s-i < KEY_LIMBS), so
     that sign_mask * rhs is the (u -> k) negacyclic-multiplication matrix
     of bhat[g, o, t] limb (s - i).  Expansion is R static rolls (matrix row
     u is the limb vector rotated by u) — no gathers.
 
     :param limbs: (..., G, O, L, R, KEY_LIMBS) int8 device array.
-    :returns: (..., L, G*2R, SHIFT_GROUPS*O*R) int8.
+    :param bitrev_order: store slot p = key frequency bitrev_6(p), matching
+        the DIF-forward/DIT-inverse dataflow of ``ops/flat_engine`` (no
+        bit-reversal permutation anywhere on the hot path).
+    :param n_groups: shift groups in Q (>= SHIFT_GROUPS; the default 6 pads
+        Q to 384 = 3 lane tiles, group 5 all-zero).
+    :returns: (..., L, G*2R, n_groups*O*R) int8.
     """
     g, o_sz = limbs.shape[-5], limbs.shape[-4]
     lead = limbs.shape[:-5]
+    if bitrev_order:
+        limbs = jnp.take(limbs, jnp.asarray(BITREV_L), axis=-3)
     # rows[..., u, k, j] = limbs[..., (k-u)%R, j]
     rows = jnp.stack([jnp.roll(jnp.moveaxis(limbs, -1, -2), u, axis=-1)
                       for u in range(R)], axis=-3)   # (..., G,O,L,u,j,k)
@@ -274,7 +207,7 @@ def build_mac_rhs(limbs):
 
     # arr axes: [i, s] + lead + [G, O, L, u, k]
     arr = jnp.stack(
-        [jnp.stack([limb(i, s) for s in range(SHIFT_GROUPS)], axis=0)
+        [jnp.stack([limb(i, s) for s in range(n_groups)], axis=0)
          for i in range(ACC_LIMBS)], axis=0)
     nl = len(lead)
     i_ax, s_ax = 0, 1
@@ -284,7 +217,7 @@ def build_mac_rhs(limbs):
             + (l_ax, g_ax, i_ax, u_ax, s_ax, o_ax, k_ax))
     arr = jnp.transpose(arr, perm)
     return arr.reshape(
-        lead + (L, g * ACC_LIMBS * R, SHIFT_GROUPS * o_sz * R))
+        lead + (L, g * ACC_LIMBS * R, n_groups * o_sz * R))
 
 
 def negacyclic_mul_device(a, b_coeff):
@@ -293,11 +226,19 @@ def negacyclic_mul_device(a, b_coeff):
     a: (..., N) int32 small digits (|a| <= 2^9); b_coeff: (..., N) int32
     arbitrary torus values (key side, transformed on host).
     """
-    ahat = forward_i32(a)[..., None, :, :]           # G = 1
-    lhs = mac_lhs(ahat)
-    bh = tr.forward(np.asarray(b_coeff))             # (..., L, R) u64
-    limbs = key_limbs_host(bh)[..., None, None, :, :, :]  # (..., G=1,O=1,L,R,KL)
-    rhs = build_mac_rhs(jnp.asarray(limbs))
-    out = external_product_mac(lhs, rhs)
-    lo, hi = recombine_dual(out, mask1=1)
-    return inverse_dual(lo[..., 0, :, :], hi[..., 0, :, :])
+    from . import flat_engine as fe
+
+    a = jnp.asarray(a)
+    lead = a.shape[:-1]
+    af = a.reshape((-1, N))
+    bf = np.asarray(b_coeff).reshape((-1, N))
+    outs = []
+    for i in range(af.shape[0]):
+        bh = tr.forward(bf[i])                       # (L, R) u64
+        limbs = key_limbs_host(bh)[None, None]       # (G=1, O=1, L, R, KL)
+        rhs = build_mac_rhs(jnp.asarray(limbs))      # (L, 2R, 6R)
+        sq = fe.q_from_n(af[i:i + 1])
+        out = fe.transformed_mac_flat(
+            sq, rhs, mask1=1, g_total=1, mac_dtype=mac_dtype())
+        outs.append(fe.n_from_q(out)[0])
+    return jnp.stack(outs).reshape(lead + (N,))
