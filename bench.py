@@ -4,6 +4,11 @@ security) parameter set, batch 2^14 — the headline metric of the reference
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the speedup factor over the reference's 0.35 ms/bit.
+
+Timing methodology: on the tunneled TPU platform ``block_until_ready`` can
+return before execution finishes, so each measurement chains ``inner``
+dependent gate calls (output feeds the next call) and ends with a scalar
+D2H transfer; the one-off sync cost is measured separately and subtracted.
 """
 
 import json
@@ -18,12 +23,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS_PER_BIT = 0.35  # nuFHE NTT NAND, single GPU (reference README)
 
 
+def _sync_overhead():
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda v: v + 1)
+    x = jnp.zeros((8, 128), jnp.int32)
+    np.asarray(f(x).ravel()[0])
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(f(x).ravel()[0])
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main():
     import jax
     import nufhe_tpu as nf
 
     batch = int(os.environ.get("NUFHE_BENCH_BATCH", 16384))
-    runs = int(os.environ.get("NUFHE_BENCH_RUNS", 5))
+    runs = int(os.environ.get("NUFHE_BENCH_RUNS", 3))
+    inner = int(os.environ.get("NUFHE_BENCH_INNER", 4))
 
     rng = nf.DeterministicRNG(42)
     t0 = time.time()
@@ -42,22 +62,28 @@ def main():
 
     vm = nf.VirtualMachine(cloud)
 
-    # warm-up (compile)
+    # warm-up (compile) with a real D2H fence
     t0 = time.time()
     res = vm.gate_nand(ca, cb)
-    jax.block_until_ready(res.a)
+    np.asarray(res.b.ravel()[0])
     compile_t = time.time() - t0
+    sync_t = _sync_overhead()
 
     times = []
     for _ in range(runs):
+        r = res
         t0 = time.time()
-        res = vm.gate_nand(ca, cb, dest=res)
-        jax.block_until_ready(res.a)
-        times.append(time.time() - t0)
+        for _ in range(inner):
+            r = vm.gate_nand(ca, r, dest=r)
+        np.asarray(r.b.ravel()[0])
+        times.append((time.time() - t0 - sync_t) / inner)
 
-    # correctness check on the benchmark output
-    got = nf.decrypt(secret, res)
-    ok = bool(np.array_equal(got, ~(bits_a & bits_b)))
+    # correctness check: NAND(a, NAND(a, ... NAND(a, NAND(a,b)))) chain
+    expect = ~(bits_a & bits_b)
+    for _ in range(runs * inner):
+        expect = ~(bits_a & expect)
+    got = nf.decrypt(secret, r)
+    ok = bool(np.array_equal(got, expect))
 
     best = min(times)
     ms_per_bit = best / batch * 1000.0
@@ -73,12 +99,13 @@ def main():
         "detail": {
             "device": str(jax.devices()[0]),
             "batch": batch,
-            "best_s": round(best, 4),
+            "best_s_per_gatecall": round(best, 4),
             "all_runs_s": [round(t, 4) for t in times],
             "gates_per_sec": round(batch / best, 1),
             "compile_s": round(compile_t, 2),
             "keygen_host_s": round(keygen_host_t, 2),
             "key_prep_s": round(key_prep_t, 2),
+            "sync_overhead_s": round(sync_t, 4),
             "correct": ok,
         }}), file=sys.stderr)
 

@@ -28,11 +28,15 @@ def t32_to_phase(phase, mspace_size: int):
     return ((phase_u + half) // interv).astype(jnp.int32)
 
 
-def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None):
+def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
+                 use_pallas=None, lane_tile=128):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
-    The accumulator lives in the flat q-layout for the whole loop
-    (``ops/flat_engine``); layout conversion happens once at entry/exit.
+    On TPU (and without tensor parallelism) each CMUX step runs as one
+    fused Pallas kernel in the rows layout (``ops/rows_engine`` +
+    ``ops/pallas/blind_rotate``): polynomial dims on rows, batch on lanes,
+    everything VMEM-resident per step.  Elsewhere the same math runs under
+    jit in the lanes layout (``ops/flat_engine``).
     Reference: the fused ``nufhe/blind_rotate.mako`` persistent kernel.
 
     :param accum_a: (B, mask_size+1, N) int32.
@@ -41,6 +45,7 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None):
     :param bara: (B, n) int32 in [0, 2N).
     """
     from . import flat_engine as fe
+    from . import rows_engine as re_
     from . import transform as dt
 
     offset = int(tgsw_params.offset)
@@ -49,6 +54,36 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None):
     mask1 = tgsw_params.tlwe_params.mask_size + 1
     n = bara.shape[-1]
     lead = accum_a.shape[:-2]
+
+    if use_pallas is None:
+        use_pallas = axis_name is None and jax.default_backend() == 'tpu'
+
+    if use_pallas:
+        from .pallas import blind_rotate as pbr
+
+        acc = accum_a.reshape((-1, mask1, fe.N))
+        bara2 = bara.reshape((-1, n))
+        bsz = acc.shape[0]
+        pad = (-bsz) % lane_tile
+        if pad:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((pad, mask1, fe.N), jnp.int32)], axis=0)
+            bara2 = jnp.concatenate(
+                [bara2, jnp.zeros((pad, n), jnp.int32)], axis=0)
+        acc_rows = re_.acc_rows_from_n(acc)
+        step = pbr.make_external_step_rows(
+            mask1, decomp_length, log2_base, offset, lane_tile=lane_tile,
+            mac_dtype=dt.mac_dtype())
+
+        def body(i, a):
+            powers = jax.lax.dynamic_index_in_dim(
+                bara2, i, axis=-1, keepdims=True)
+            row = jax.lax.dynamic_index_in_dim(bk_dev, i, 0, keepdims=False)
+            return step(a, jnp.transpose(powers), row)
+
+        acc_rows = jax.lax.fori_loop(0, n, body, acc_rows)
+        out = re_.acc_n_from_rows(acc_rows, mask1)[:bsz]
+        return out.reshape(lead + (mask1, fe.N))
 
     acc_q = fe.q_from_n(accum_a).reshape((-1, mask1 * fe.N))
     bara2 = bara.reshape((-1, n))

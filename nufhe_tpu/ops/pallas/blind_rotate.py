@@ -22,6 +22,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import flat_engine as fe
+from .. import rows_engine as re_
+
+
+def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
+                            offset: int, lane_tile: int = 128,
+                            mac_dtype=jnp.bfloat16, interpret: bool = False,
+                            vmem_limit_mb: int = 100):
+    """Rows-layout fused step kernel: polynomial dims on rows (cheap
+    vreg-reindex rolls), batch on lanes (one lane tile per grid cell)."""
+    n_rows = mask1 * re_.N
+
+    def kernel(p_ref, acc_ref, rhs_ref, out_ref):
+        out_ref[:, :] = re_.external_step(
+            acc_ref[:, :], p_ref[:, :], rhs_ref[:, :, :],
+            mask1=mask1, decomp_length=decomp_length,
+            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype)
+
+    def step(acc_rows, p, rhs_row):
+        b = acc_rows.shape[-1]
+        bt = min(lane_tile, b)
+        assert b % bt == 0, (b, bt)
+        c_size, q_size = rhs_row.shape[-2], rhs_row.shape[-1]
+        return pl.pallas_call(
+            kernel,
+            grid=(b // bt,),
+            in_specs=[
+                pl.BlockSpec((1, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_rows, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((re_.L, c_size, q_size), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_rows, bt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
+            interpret=interpret,
+        )(p, acc_rows, rhs_row)
+
+    return step
 
 
 def make_external_step(mask1: int, decomp_length: int, log2_base: int,

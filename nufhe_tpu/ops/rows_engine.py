@@ -1,0 +1,283 @@
+"""Rows-layout exact transform engine: polynomial dimensions on the ROW
+(sublane) axis, ciphertext batch on the LANE axis.
+
+Why: on TPU, lane-axis rolls are shuffle ops (~2.5x the cost of an add
+pass), while row-axis rolls by multiples of the sublane tile are pure
+vector-register reindexing the Mosaic compiler fuses into consumers
+(measured ~free: 30 rounds of roll+select+add cost the same as 30 rounds
+of add alone).  Every structural move in the blind-rotate step — butterfly
+partner fetches (multiples of 32 rows), monomial j-block rotations,
+interleaves and compactions — lands on the row axis, and dimension
+regroupings become metadata-only reshapes on 8-row boundaries.  The batch
+occupies exactly one 128-lane tile per grid cell.
+
+Data layouts (rows x batch-lanes), all row strides multiples of 8:
+
+  acc     (mask1*1024, b): row = j*64 + o*32 + i     (j = Nussbaumer slot,
+                            o = TLWE polynomial, i = S' lane)
+  digits  (G*1024, b):     row = j*(G*32) + g*32 + i, g = o*l + dig
+  fwd out (L*G*32, b):     row = t*(G*32) + g*32 + u  (slot-major; t is in
+                            DIF bit-reversed order, matching the key)
+  MAC lhs (L, C, b):       C = limb*(G*32) + g*32 + u  [metadata reshape]
+  MAC out (L, Q, b):       Q = s*(mask1*32) + o*32 + k
+  inverse (L*128, b):      row = t*128 + ch*64 + o*32 + k  (ch = lo/hi)
+
+The mathematics is identical to ``ops/flat_engine`` (same DIF/DIT, same
+dual-channel mod-2^38 inverse, same bf16 limb MAC, bit-exact vs
+``ref/transform_ref``); only the axis assignment differs.  The MAC is one
+batched ``dot_general`` over all L slots: (L, C, Q) x (L, C, b) ->
+(L, Q, b), contracting the row axis — batch stays on lanes throughout.
+
+Reference analogue: ``nufhe/blind_rotate.mako`` (fused persistent kernel).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ref import transform_ref as tr
+
+N = tr.N
+M = tr.M
+R = tr.R
+L = tr.L
+LOG_L = tr.LOG_L
+INV_SHIFT = tr.INV_SHIFT
+_LO_BITS = 19
+
+
+def _rows(x):
+    return jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+
+
+def _roll(x, k):
+    return jnp.roll(x, k, axis=0)
+
+
+def roll_region(x, k, region):
+    """Cyclic roll down by k within each `region`-row region."""
+    k = k % region
+    if k == 0:
+        return x
+    return jnp.where((_rows(x) % region) >= k,
+                     _roll(x, k), _roll(x, k - region))
+
+
+def rot_block(x, e, blk=R):
+    """Negacyclic rotation by Y^e within each blk-row block (Y^blk = -1)."""
+    e = e % (2 * blk)
+    if e >= blk:
+        x, e = -x, e - blk
+    if e == 0:
+        return x
+    return jnp.where((_rows(x) % blk) >= e,
+                     _roll(x, e), -_roll(x, e - blk))
+
+
+def rotate_acc(x, p, mask1, minus_one=False):
+    """X^p * x per batch lane; x: (mask1*1024, b) acc layout, p: (1, b)."""
+    stride = mask1 * R                       # rows per j-block
+    region = mask1 * N
+    j_idx = (_rows(x) % region) // stride
+    out = x
+    for b in range(5):                       # X^(2^b): j-block rolls + carry
+        k = 1 << b
+        rolled = roll_region(out, stride * k, region)
+        fixed = jnp.where(j_idx < k, rot_block(rolled, 1), rolled)
+        bit = ((p >> b) & 1) != 0
+        out = jnp.where(bit, fixed, out)
+    for b in range(5, 10):                   # X^(32*2^b): i-axis rotations
+        k = 1 << (b - 5)
+        bit = ((p >> b) & 1) != 0
+        out = jnp.where(bit, rot_block(out, k), out)
+    bit = ((p >> 10) & 1) != 0               # X^1024 = -1
+    out = jnp.where(bit, -out, out)
+    if minus_one:
+        out = out - x
+    return out.astype(jnp.int32)
+
+
+def gadget_decomp(rot, mask1, decomp_length, log2_base, offset):
+    """acc rows (j, o, i) -> digit rows (j, (o, dig), i): per-digit
+    extraction + metadata-only interleave."""
+    b = rot.shape[-1]
+    base_half = 1 << (log2_base - 1)
+    mask = (1 << log2_base) - 1
+    shifted = rot + jnp.int32(offset)
+    digs = []
+    for d in range(decomp_length):
+        sh = 32 - (d + 1) * log2_base
+        digs.append((((shifted >> sh) & mask) - base_half)
+                    .reshape(M, mask1, 1, R, b))
+    out = jnp.concatenate(digs, axis=2)      # (j, o, dig, i, b)
+    return out.reshape(M * mask1 * decomp_length * R, b).astype(jnp.int32)
+
+
+def _twiddle(x, step, h, stride):
+    """Y^(step*m) per row group, m = ((row // stride) % h)."""
+    if h <= 1:
+        return x
+    m = (_rows(x) // stride) % h
+    for b in range(h.bit_length() - 1):
+        e = (step * (1 << b)) % (2 * R)
+        if e == 0:
+            continue
+        x = jnp.where((m >> b) & 1 != 0, rot_block(x, e), x)
+    return x
+
+
+def dif_forward(dig, g_total):
+    """DIF DFT over S' of zero-padded strided blocks, slot-major rows.
+
+    :param dig: (M*g_total*R, b) int32, rows (j, g, i).
+    :returns: (L*g_total*R, b) int32, rows (t, g, u), t bit-reversed.
+    """
+    stride = g_total * R
+    # stage h=32 on zero-padded input: lo' = A; hi' = Y^j A
+    hi = _twiddle(dig, 1, M, stride)
+    x = jnp.concatenate([dig, hi], axis=0)   # (L*stride, b); t-group halves
+    # after this concat rows are (half, j, g, i) = slot order for h=32 split
+    for h in (16, 8, 4, 2, 1):
+        d = h * stride
+        step = L // (2 * h)
+        is_lo = (_rows(x) % (2 * d)) < d
+        partner = _roll(x, -d)
+        tw = _twiddle(x - partner, step, h, stride)
+        x = jnp.where(is_lo, x + partner, _roll(tw, d))
+    return x
+
+
+def dit_inverse(x, stride):
+    """DIT inverse (unscaled) + fold; x rows (t, [inner]) with t-group size
+    ``stride`` rows, t in bit-reversed order; returns (M*stride, b)."""
+    for s in range(LOG_L):
+        mmax = 1 << s
+        d = mmax * stride
+        step = -(1 << (LOG_L - s - 1))
+        is_lo = (_rows(x) % (2 * d)) < d
+        tw = _twiddle(_roll(x, -d), step, mmax, stride)
+        x = jnp.where(is_lo, x + tw, _roll(x - tw, d))
+    half = M * stride
+    return x[:half] + rot_block(x[half:], 1)
+
+
+def normalize_dual(lo, hi):
+    carry = lo >> _LO_BITS
+    lo_n = lo - (carry << _LO_BITS)
+    hi_n = (hi + carry) & ((1 << _LO_BITS) - 1)
+    return ((lo_n >> INV_SHIFT) | (hi_n << (_LO_BITS - INV_SHIFT))
+            ).astype(jnp.int32)
+
+
+def mac_sign_mask(c_size, q_size, dtype):
+    u = jax.lax.broadcasted_iota(jnp.int32, (c_size, q_size), 0) % R
+    k = jax.lax.broadcasted_iota(jnp.int32, (c_size, q_size), 1) % R
+    return jnp.where(k >= u, 1, -1).astype(dtype)
+
+
+def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
+                    axis_name=None):
+    """sum_g digits_g * key_g, rows layout.
+
+    :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9.
+    :param rhs: (L, C, Q) int8 from ``transform.build_mac_rhs`` with
+        ``c_order='igu'`` (limb-major contraction index).
+    :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)).
+    """
+    b = digits.shape[-1]
+    c_size, q_size = rhs.shape[-2], rhs.shape[-1]
+    o_r = mask1 * R
+    stride = g_total * R
+
+    xt = dif_forward(digits, g_total)        # (L*stride, b)
+
+    a0 = ((xt + 128) & 255) - 128
+    a1 = (xt - a0) >> 8
+    # lhs C-order (g, limb, u) matching build_mac_rhs: metadata interleave
+    lhs = jnp.concatenate([
+        a0.reshape(L, g_total, 1, R, b),
+        a1.reshape(L, g_total, 1, R, b)], axis=2)
+    lhs = lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
+
+    if axis_name is not None:
+        lo_hi = _mac_dot(lhs, rhs, mask1, mac_dtype)
+        lo3, hi3 = jax.lax.psum(lo_hi, axis_name)
+    else:
+        lo3, hi3 = _mac_dot(lhs, rhs, mask1, mac_dtype)
+
+    # inverse input rows (t, ch, o, k)
+    x = jnp.concatenate([
+        lo3.reshape(L, 1, o_r, b), hi3.reshape(L, 1, o_r, b)], axis=1)
+    x = x.reshape(L * 2 * o_r, b)
+    folded = dit_inverse(x, 2 * o_r)         # (M * 2*o_r, b) rows (j, ch, o, k)
+    v = folded.reshape(M, 2, o_r, b)
+    delta = normalize_dual(v[:, 0], v[:, 1]) # (M, o_r, b)
+    return delta.reshape(mask1 * N, b)
+
+
+def _mac_dot(lhs, rhs, mask1, mac_dtype):
+    """(L, C, b) x (L, C, Q) -> dual-channel (L, mask1*R, b) accumulators."""
+    c_size, q_size = rhs.shape[-2], rhs.shape[-1]
+    o_r = mask1 * R
+    sgn = mac_sign_mask(c_size, q_size, mac_dtype)
+    rhs_bf = rhs.astype(mac_dtype) * sgn
+    out = jax.lax.dot_general(
+        rhs_bf, lhs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    # out: (L, Q, b); Q = s*o_r + o*R + k, 6 groups (group 5 zero)
+    lo = None
+    hi = None
+    for s in range(5):
+        ps = jax.lax.slice_in_dim(out, s * o_r, (s + 1) * o_r, axis=1)
+        shift = 8 * s
+        if shift < _LO_BITS:
+            rem = _LO_BITS - shift
+            hi_c = ps >> rem
+            lo_c = (ps & ((1 << rem) - 1)) << shift
+            lo = lo_c if lo is None else lo + lo_c
+        else:
+            hi_c = ps << (shift - _LO_BITS)
+        hi = hi_c if hi is None else hi + hi_c
+    return lo, hi
+
+
+def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
+                  mac_dtype=jnp.bfloat16, axis_name=None):
+    """One CMUX step in rows layout: ACC += BK (x) decomp((X^p - 1) ACC).
+
+    :param acc: (mask1*1024, b) int32 rows (j, o, i).
+    :param p: (1, b) int32 in [0, 2N).
+    """
+    rot = rotate_acc(acc, p, mask1, minus_one=True)
+    digits = gadget_decomp(rot, mask1, decomp_length, log2_base, offset)
+    if axis_name is not None:
+        g_total = rhs.shape[-2] // (2 * R)
+        b = digits.shape[-1]
+        start = jax.lax.axis_index(axis_name) * g_total
+        dv = digits.reshape(M, mask1 * decomp_length, R, b)
+        dv = jax.lax.dynamic_slice_in_dim(dv, start, g_total, axis=1)
+        digits = dv.reshape(M * g_total * R, b)
+    else:
+        g_total = mask1 * decomp_length
+    delta = transformed_mac(
+        digits, rhs, mask1=mask1, g_total=g_total, mac_dtype=mac_dtype,
+        axis_name=axis_name)
+    return (acc + delta).astype(jnp.int32)
+
+
+# --- layout conversion (XLA level, once per blind rotate) ---
+
+def acc_rows_from_n(x):
+    """(B, mask1, N) coefficient order -> (mask1*1024, B) rows (j, o, i)."""
+    bsz, mask1, n = x.shape
+    v = x.reshape(bsz, mask1, R, M)          # [b, o, i, j]
+    v = jnp.transpose(v, (3, 1, 2, 0))       # [j, o, i, b]
+    return v.reshape(mask1 * n, bsz)
+
+
+def acc_n_from_rows(x, mask1):
+    """Inverse of ``acc_rows_from_n``."""
+    bsz = x.shape[-1]
+    v = x.reshape(M, mask1, R, bsz)
+    v = jnp.transpose(v, (3, 1, 2, 0))       # [b, o, i, j]
+    return v.reshape(bsz, mask1, N)
