@@ -1,0 +1,134 @@
+// Native host-side keygen numerics: exact Nussbaumer forward transform over
+// Z/2^64 + balanced radix-2^8 limb split (mod 2^38).
+//
+// This is the hot host path of bootstrap/keyswitch key preparation
+// (ref: nufhe's host keygen feeding GPU buffers; here it feeds
+// nufhe_tpu.ops.transform.build_mac_rhs).  Mirrors ref/transform_ref.py
+// bit-exactly: N=1024 = 32x32, L=64, S' = Z[Y]/(Y^32+1), twiddles are
+// negacyclic shifts (pure data movement), u64 wraparound arithmetic.
+//
+// Built at first use by nufhe_tpu/native.py with the system toolchain and
+// loaded via ctypes; numpy remains the fallback.
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int N = 1024;
+constexpr int M = 32;
+constexpr int R = 32;
+constexpr int L = 64;
+constexpr int LOG_L = 6;
+
+// rev[t] = 6-bit reversal of t
+int bitrev6(int t) {
+    int out = 0;
+    for (int b = 0; b < LOG_L; ++b) out |= ((t >> b) & 1) << (LOG_L - 1 - b);
+    return out;
+}
+
+// dst = Y^e * src in S' (negacyclic rotate right by e with sign wrap)
+inline void yshift(const uint64_t* src, uint64_t* dst, int e) {
+    e = ((e % (2 * R)) + 2 * R) % (2 * R);
+    bool neg = e >= R;
+    e %= R;
+    for (int k = 0; k < R; ++k) {
+        int src_idx = k - e;
+        uint64_t v;
+        if (src_idx >= 0) v = src[src_idx];
+        else v = ~src[src_idx + R] + 1;  // negate (u64 wrap)
+        dst[k] = neg ? (~v + 1) : v;
+    }
+}
+
+// one polynomial: (N,) int32 -> (L, R) uint64, forward DFT over S'
+void forward_one(const int32_t* a, uint64_t* out) {
+    uint64_t data[L][R];
+    // strided split A_j[i] = a[i*M + j], zero-padded to L slots, then the
+    // initial bit-reversal of the DIT dataflow
+    uint64_t padded[L][R];
+    for (int j = 0; j < M; ++j)
+        for (int i = 0; i < R; ++i)
+            padded[j][i] = (uint64_t)(int64_t)a[i * M + j];
+    std::memset(padded[M], 0, sizeof(uint64_t) * (L - M) * R);
+    for (int t = 0; t < L; ++t)
+        std::memcpy(data[t], padded[bitrev6(t)], sizeof(uint64_t) * R);
+
+    uint64_t temp[R];
+    for (int stage = 0; stage < LOG_L; ++stage) {
+        int mmax = 1 << stage;
+        int istep = mmax * 2;
+        for (int m = 0; m < mmax; ++m) {
+            int tw = m * (1 << (LOG_L - stage - 1));
+            for (int i = m; i < L; i += istep) {
+                int j = i + mmax;
+                yshift(data[j], temp, tw);
+                for (int k = 0; k < R; ++k) {
+                    uint64_t lo = data[i][k];
+                    data[i][k] = lo + temp[k];
+                    data[j][k] = lo - temp[k];
+                }
+            }
+        }
+    }
+    std::memcpy(out, data, sizeof(uint64_t) * L * R);
+}
+
+}  // namespace
+
+extern "C" {
+
+// in:  (n_polys, 1024) int32 contiguous
+// out: (n_polys, 64, 32) uint64 contiguous
+void nussbaumer_forward_u64(const int32_t* in, uint64_t* out, long n_polys) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (long p = 0; p < n_polys; ++p)
+        forward_one(in + p * N, out + p * (long)(L * R));
+}
+
+// residues mod 2^64 -> 5 balanced radix-2^8 limbs of the mod-2^38 value
+// in:  (count,) uint64;  out: (count, 5) int8
+void limb_split_38(const uint64_t* in, int8_t* out, long count) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (long idx = 0; idx < count; ++idx) {
+        int64_t v = (int64_t)(in[idx] & ((1ull << 38) - 1));
+        v -= (v >> 37) << 38;  // center into [-2^37, 2^37)
+        for (int j = 0; j < 5; ++j) {
+            int64_t l0 = ((v + 128) & 255) - 128;
+            out[idx * 5 + j] = (int8_t)l0;
+            v = (v - l0) >> 8;
+        }
+    }
+}
+
+// fused: (n_polys, 1024) int32 -> (n_polys, 64, 32, 5) int8 key limbs
+void bootstrap_key_limbs(const int32_t* in, int8_t* out, long n_polys) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (long p = 0; p < n_polys; ++p) {
+        uint64_t buf[L * R];
+        forward_one(in + p * N, buf);
+        int8_t* o = out + p * (long)(L * R * 5);
+        for (long idx = 0; idx < L * R; ++idx) {
+            int64_t v = (int64_t)(buf[idx] & ((1ull << 38) - 1));
+            v -= (v >> 37) << 38;
+            for (int j = 0; j < 5; ++j) {
+                int64_t l0 = ((v + 128) & 255) - 128;
+                o[idx * 5 + j] = (int8_t)l0;
+                v = (v - l0) >> 8;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -46,6 +46,31 @@ INV_SHIFT = tr.INV_SHIFT
 _LO_BITS = 19
 
 
+def _mask(x, *expr):
+    """(n_rows, 1) bool row mask, built in-trace from a column iota (cost is
+    negligible: 1 lane wide; it broadcasts inside the consuming select).
+    Pallas kernels cannot close over materialized array constants, so masks
+    are lax-built; identical subexpressions are shared by CSE."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    kind = expr[0]
+    if kind == 'geq_mod':          # (row % blk) >= e
+        _, blk, e = expr
+        return (r % blk) >= e
+    if kind == 'lt_mod':           # (row % region) < k
+        _, region, k = expr
+        return (r % region) < k
+    if kind == 'mbit':             # bit b of ((row // stride) % h)
+        _, stride, h, b = expr
+        return ((r // stride) % h >> b) & 1 != 0
+    if kind == 'mbit_and_geq':     # mbit AND (row % blk) >= e
+        _, stride, h, b, blk, e = expr
+        return (((((r // stride) % h) >> b) & 1) != 0) & ((r % blk) >= e)
+    if kind == 'jlt':              # ((row % region) // stride) < k
+        _, region, stride, k = expr
+        return ((r % region) // stride) < k
+    raise ValueError(expr)
+
+
 def _rows(x):
     return jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
 
@@ -59,7 +84,7 @@ def roll_region(x, k, region):
     k = k % region
     if k == 0:
         return x
-    return jnp.where((_rows(x) % region) >= k,
+    return jnp.where(_mask(x, 'geq_mod', region, k),
                      _roll(x, k), _roll(x, k - region))
 
 
@@ -70,7 +95,7 @@ def rot_block(x, e, blk=R):
         x, e = -x, e - blk
     if e == 0:
         return x
-    return jnp.where((_rows(x) % blk) >= e,
+    return jnp.where(_mask(x, 'geq_mod', blk, e),
                      _roll(x, e), -_roll(x, e - blk))
 
 
@@ -78,12 +103,12 @@ def rotate_acc(x, p, mask1, minus_one=False):
     """X^p * x per batch lane; x: (mask1*1024, b) acc layout, p: (1, b)."""
     stride = mask1 * R                       # rows per j-block
     region = mask1 * N
-    j_idx = (_rows(x) % region) // stride
     out = x
     for b in range(5):                       # X^(2^b): j-block rolls + carry
         k = 1 << b
         rolled = roll_region(out, stride * k, region)
-        fixed = jnp.where(j_idx < k, rot_block(rolled, 1), rolled)
+        fixed = jnp.where(_mask(out, 'jlt', region, stride, k),
+                          rot_block(rolled, 1), rolled)
         bit = ((p >> b) & 1) != 0
         out = jnp.where(bit, fixed, out)
     for b in range(5, 10):                   # X^(32*2^b): i-axis rotations
@@ -114,15 +139,33 @@ def gadget_decomp(rot, mask1, decomp_length, log2_base, offset):
 
 
 def _twiddle(x, step, h, stride):
-    """Y^(step*m) per row group, m = ((row // stride) % h)."""
+    """Y^(step*m) per row group, m = ((row // stride) % h).
+
+    Sub-round b applies Y^(step*2^b) where bit b of m is set; the rotation
+    and the m-bit condition merge into two constant-mask selects:
+    where(mbit & rot_hi, roll_e, where(mbit, sgn*roll_lo, x)).
+    """
     if h <= 1:
         return x
-    m = (_rows(x) // stride) % h
     for b in range(h.bit_length() - 1):
         e = (step * (1 << b)) % (2 * R)
         if e == 0:
             continue
-        x = jnp.where((m >> b) & 1 != 0, rot_block(x, e), x)
+        neg = e >= R
+        e_r = e - R if neg else e
+        # value if selected: negacyclic rotation by e (sign-flipped if neg)
+        hi_roll = _roll(x, e_r) if e_r else x
+        lo_roll = _roll(x, e_r - R)
+        if neg:
+            hi_roll, lo_roll = -hi_roll, lo_roll
+        else:
+            lo_roll = -lo_roll
+        if e_r == 0:
+            x = jnp.where(_mask(x, 'mbit', stride, h, b), hi_roll, x)
+        else:
+            x = jnp.where(
+                _mask(x, 'mbit_and_geq', stride, h, b, R, e_r), hi_roll,
+                jnp.where(_mask(x, 'mbit', stride, h, b), lo_roll, x))
     return x
 
 
@@ -140,7 +183,7 @@ def dif_forward(dig, g_total):
     for h in (16, 8, 4, 2, 1):
         d = h * stride
         step = L // (2 * h)
-        is_lo = (_rows(x) % (2 * d)) < d
+        is_lo = _mask(x, 'lt_mod', 2 * d, d)
         partner = _roll(x, -d)
         tw = _twiddle(x - partner, step, h, stride)
         x = jnp.where(is_lo, x + partner, _roll(tw, d))
@@ -149,16 +192,26 @@ def dif_forward(dig, g_total):
 
 def dit_inverse(x, stride):
     """DIT inverse (unscaled) + fold; x rows (t, [inner]) with t-group size
-    ``stride`` rows, t in bit-reversed order; returns (M*stride, b)."""
-    for s in range(LOG_L):
+    ``stride`` rows, t in bit-reversed order; returns (M*stride, b).
+
+    The final stage (mmax = M) pairs slots (j, j+M) — exactly the fold
+    pairs — so it is fused with the fold:
+      C_j = P_j + Y P_{j+M} = (lo + tw) + Y (lo - tw)
+    on half-size data instead of a full stage plus a fold pass.
+    """
+    for s in range(LOG_L - 1):
         mmax = 1 << s
         d = mmax * stride
         step = -(1 << (LOG_L - s - 1))
-        is_lo = (_rows(x) % (2 * d)) < d
+        is_lo = _mask(x, 'lt_mod', 2 * d, d)
         tw = _twiddle(_roll(x, -d), step, mmax, stride)
         x = jnp.where(is_lo, x + tw, _roll(x - tw, d))
     half = M * stride
-    return x[:half] + rot_block(x[half:], 1)
+    lo = x[:half]
+    tw = _twiddle(x[half:], -1, M, stride)
+    s_plus = lo + tw
+    s_minus = lo - tw
+    return s_plus + rot_block(s_minus, 1)
 
 
 def normalize_dual(lo, hi):

@@ -31,11 +31,11 @@ def bootstrap_key_limbs_host(bk_coeff):
     :returns: (n, G, O, L, R, KEY_LIMBS) int8 numpy array (compact; the
         negacyclic expansion into MAC-rhs layout happens on device).
     """
-    from ..ref import transform_ref as tr
+    from .. import native
 
     n_rows, mask1, decomp, mask1_o, poly_n = bk_coeff.shape
-    bhat = tr.forward(bk_coeff)                       # (..., L, R) u64
-    limbs = dt.key_limbs_host(bhat)                   # (..., L, R, KL) i8
+    flat = np.asarray(bk_coeff).reshape(-1, poly_n)
+    limbs = native.bootstrap_key_limbs(flat)          # (., L, R, KL) i8
     return limbs.reshape(
         n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS)
 
