@@ -82,9 +82,11 @@ def _broadcast_flat(ct, shape, lwe_size):
 
 
 @partial(jax.jit, static_argnames=(
-    'mu', 'tgsw_params', 'ks_meta', 'no_keyswitch'))
+    'mu', 'tgsw_params', 'ks_meta', 'no_keyswitch', 'use_pallas',
+    'lane_tile'))
 def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
-                      tgsw_params, ks_meta, no_keyswitch):
+                      tgsw_params, ks_meta, no_keyswitch, use_pallas=None,
+                      lane_tile=None):
     """temp = (0, const) + sum_i coeffs[i] * inputs[i]; bootstrap(temp).
 
     ``const`` and ``coeffs`` are traced scalars, so all two-input gates share
@@ -100,11 +102,19 @@ def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
         tcv = tcv + c.astype(jnp.float32)**2 * icv
     return dboot.bootstrap_device(
         ta.astype(jnp.int32), tb.astype(jnp.int32), bk_dev, ks_arrays,
-        ks_meta, mu, tgsw_params, no_keyswitch=no_keyswitch)
+        ks_meta, mu, tgsw_params, no_keyswitch=no_keyswitch,
+        use_pallas=use_pallas, lane_tile=lane_tile)
+
+
+def _perf_kwargs(perf_params):
+    if perf_params is None:
+        return {}
+    return dict(use_pallas=perf_params.single_kernel_bootstrap,
+                lane_tile=perf_params.batch_tile)
 
 
 def _bootstrap_gate(cloud_key, result, sources, const, coeffs,
-                    no_keyswitch=False):
+                    no_keyswitch=False, perf_params=None):
     params = cloud_key.params
     lwe_size = params.in_out_params.size
     shape = result.shape
@@ -117,7 +127,7 @@ def _bootstrap_gate(cloud_key, result, sources, const, coeffs,
         tuple(jnp.int32(int(c)) for c in coeffs),
         cloud_key.bootstrap_key.device(), ks_arrays,
         mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta,
-        no_keyswitch=no_keyswitch)
+        no_keyswitch=no_keyswitch, **_perf_kwargs(perf_params))
 
     out_size = ra.shape[-1]
     result.a = ra.reshape(shape + (out_size,))
@@ -145,7 +155,8 @@ def _make_gate2(name, const_num, const_den, ca, cb, doc):
         check_shape(result, a, b)
         return _bootstrap_gate(
             cloud_key, result, (a, b),
-            phase_to_t32(const_num, const_den), (ca, cb))
+            phase_to_t32(const_num, const_den), (ca, cb),
+            perf_params=perf_params)
     gate.__name__ = name
     gate.__doc__ = doc
     return gate
@@ -214,9 +225,10 @@ def gate_constant(cloud_key, result, vals, perf_params=None):
 
 # --- MUX ---
 
-@partial(jax.jit, static_argnames=('mu', 'tgsw_params', 'ks_meta'))
+@partial(jax.jit, static_argnames=('mu', 'tgsw_params', 'ks_meta',
+                                   'use_pallas', 'lane_tile'))
 def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
-                ks_meta):
+                ks_meta, use_pallas=None, lane_tile=None):
     and_const = jnp.int32(phase_to_t32(-1, 8))
     mux_const = jnp.int32(phase_to_t32(1, 8))
 
@@ -224,14 +236,17 @@ def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
     ba, bb, bcv = b_in
     ca, cb, ccv = c_in
 
+    perf = dict(use_pallas=use_pallas, lane_tile=lane_tile)
     # u1 = bootstrap_no_ks((0,-1/8) + a + b)
     u1 = dboot.bootstrap_device(
         (aa + ba).astype(jnp.int32), (and_const + ab + bb).astype(jnp.int32),
-        bk_dev, ks_arrays, ks_meta, mu, tgsw_params, no_keyswitch=True)
+        bk_dev, ks_arrays, ks_meta, mu, tgsw_params, no_keyswitch=True,
+        **perf)
     # u2 = bootstrap_no_ks((0,-1/8) - a + c)
     u2 = dboot.bootstrap_device(
         (ca - aa).astype(jnp.int32), (and_const - ab + cb).astype(jnp.int32),
-        bk_dev, ks_arrays, ks_meta, mu, tgsw_params, no_keyswitch=True)
+        bk_dev, ks_arrays, ks_meta, mu, tgsw_params, no_keyswitch=True,
+        **perf)
 
     # (0, 1/8) + u1 + u2 in the extracted space, then a single keyswitch
     ta = (u1[0] + u2[0]).astype(jnp.int32)
@@ -253,7 +268,8 @@ def gate_mux(cloud_key, result, a, b, c, perf_params=None):
     ks_arrays, ks_meta = cloud_key.keyswitch_key.device()
     ra, rb, rcv = _mux_kernel(
         *inputs, cloud_key.bootstrap_key.device(), ks_arrays,
-        mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta)
+        mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta,
+        **_perf_kwargs(perf_params))
 
     out_size = ra.shape[-1]
     result.a = ra.reshape(shape + (out_size,))

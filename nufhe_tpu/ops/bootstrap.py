@@ -29,7 +29,7 @@ def t32_to_phase(phase, mspace_size: int):
 
 
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
-                 use_pallas=None, lane_tile=128):
+                 use_pallas=None, lane_tile=None):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     On TPU (and without tensor parallelism) each CMUX step runs as one
@@ -64,6 +64,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         acc = accum_a.reshape((-1, mask1, fe.N))
         bara2 = bara.reshape((-1, n))
         bsz = acc.shape[0]
+        if lane_tile is None:
+            lane_tile = 512 if bsz >= 512 else 128
         pad = (-bsz) % lane_tile
         if pad:
             acc = jnp.concatenate(
@@ -71,15 +73,16 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
             bara2 = jnp.concatenate(
                 [bara2, jnp.zeros((pad, n), jnp.int32)], axis=0)
         acc_rows = re_.acc_rows_from_n(acc)
+        bara_t = jnp.transpose(bara2)        # (n, B): per-step contiguous rows
         step = pbr.make_external_step_rows(
             mask1, decomp_length, log2_base, offset, lane_tile=lane_tile,
             mac_dtype=dt.mac_dtype())
 
         def body(i, a):
             powers = jax.lax.dynamic_index_in_dim(
-                bara2, i, axis=-1, keepdims=True)
+                bara_t, i, axis=0, keepdims=True)
             row = jax.lax.dynamic_index_in_dim(bk_dev, i, 0, keepdims=False)
-            return step(a, jnp.transpose(powers), row)
+            return step(a, powers, row)
 
         acc_rows = jax.lax.fori_loop(0, n, body, acc_rows)
         out = re_.acc_n_from_rows(acc_rows, mask1)[:bsz]
@@ -102,7 +105,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
 
 
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
-                     no_keyswitch=False, axis_name=None):
+                     no_keyswitch=False, axis_name=None, use_pallas=None,
+                     lane_tile=None):
     """Full gate bootstrap on device.
 
     result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
@@ -123,7 +127,9 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     testvectbis = dtlwe.monomial_shift(testvect, barb, invert_powers=True)
 
     accum, _ = dtlwe.tlwe_noiseless_trivial(testvectbis, mask_size)
-    accum = blind_rotate(accum, bk_dev, bara, tgsw_params, axis_name=axis_name)
+    accum = blind_rotate(accum, bk_dev, bara, tgsw_params,
+                         axis_name=axis_name, use_pallas=use_pallas,
+                         lane_tile=lane_tile)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
     if no_keyswitch:

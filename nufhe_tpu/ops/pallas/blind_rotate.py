@@ -58,6 +58,7 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
             out_specs=pl.BlockSpec((n_rows, bt), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
+            input_output_aliases={1: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
             interpret=interpret,

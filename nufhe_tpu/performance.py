@@ -49,7 +49,7 @@ class PerformanceParametersForDevice:
 
         skb = perf_params.single_kernel_bootstrap
         if skb is None:
-            skb = False  # Pallas fused path: enabled once implemented
+            skb = on_tpu  # fused Pallas step kernel (rows engine)
         self.single_kernel_bootstrap = skb
         self.batch_tile = perf_params.batch_tile
         self.platform = platform
