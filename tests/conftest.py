@@ -38,15 +38,19 @@ def pytest_addoption(parser):
     parser.addoption(
         "--heavy", action="store_true", default=False,
         help="run heavy (full-parameter, benchmark-sized) tests")
+    parser.addoption(
+        "--perf", action="store_true", default=False,
+        help="run performance measurement tests")
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--heavy"):
-        return
     skip_heavy = pytest.mark.skip(reason="needs --heavy")
+    skip_perf = pytest.mark.skip(reason="needs --perf")
     for item in items:
-        if "heavy" in item.keywords:
+        if "heavy" in item.keywords and not config.getoption("--heavy"):
             item.add_marker(skip_heavy)
+        if "perf" in item.keywords and not config.getoption("--perf"):
+            item.add_marker(skip_perf)
 
 
 def pytest_configure(config):

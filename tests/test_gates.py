@@ -148,3 +148,37 @@ def test_transform_type_fft_variant():
     cb = nf.encrypt(rng, secret, b)
     res = vm.gate_or(ca, cb)
     assert np.array_equal(nf.decrypt(secret, res), a | b)
+
+
+@pytest.mark.perf
+def test_gate_nand_speed():
+    """Perf measurement (opt-in: -m perf): ms/bit via the reference's
+    two-size methodology (``nufhe/test/test_gates.py:252-301``): measure at
+    two batch sizes and divide the difference to exclude launch overhead."""
+    import time
+    import jax
+    import nufhe_tpu as nf
+
+    rng = nf.DeterministicRNG(42)
+    secret, cloud = nf.make_key_pair(rng)
+    vm = nf.VirtualMachine(cloud)
+    sizes = (64, 256) if jax.default_backend() == 'cpu' else (4096, 16384)
+
+    results = {}
+    for size in sizes:
+        bits = np.random.RandomState(0).randint(0, 2, size).astype(bool)
+        ca = nf.encrypt(rng, secret, bits)
+        res = vm.gate_nand(ca, ca)
+        np.asarray(res.b.ravel()[0])          # compile + fence
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            res = vm.gate_nand(ca, res, dest=res)
+            np.asarray(res.b.ravel()[0])
+            best = min(best, time.time() - t0)
+        results[size] = best
+
+    speed = (results[sizes[1]] - results[sizes[0]]) / (sizes[1] - sizes[0])
+    print(f"\nNAND: {speed*1000:.5f} ms/bit "
+          f"(sizes {sizes}: {[round(results[s], 3) for s in sizes]} s)")
+    assert speed > 0

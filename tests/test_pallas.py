@@ -1,0 +1,41 @@
+"""Pallas step-kernel plumbing (interpret mode; runs on the CPU backend).
+
+The fused rows-layout CMUX kernel is the TPU production path; interpret
+mode executes the same kernel logic (grid, block specs, aliasing) without
+TPU hardware, checked bit-exactly against the reference composition.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nufhe_tpu.params import NuFHEParameters
+from nufhe_tpu.ref import tgsw_ref, polynomials_ref
+from nufhe_tpu.ops import rows_engine as re_
+from nufhe_tpu.ops import tgsw as dtgsw
+from nufhe_tpu.ops.pallas import blind_rotate as pbr
+
+
+def test_pallas_step_interpret_matches_oracle(rng):
+    params = NuFHEParameters()
+    tp = params.tgsw_params
+    mask1 = 2
+    b = 256          # two 128-lane grid cells
+    accum = rng.randint(-2**31, 2**31, (b, mask1, 1024)).astype(np.int32)
+    powers = rng.randint(0, 2 * 1024, (b,)).astype(np.int32)
+    bk_coeff = rng.randint(
+        -2**31, 2**31,
+        (1, mask1, tp.decomp_length, mask1, 1024)).astype(np.int32)
+    bk_dev = dtgsw.prepare_bootstrap_key_device(bk_coeff)
+
+    shifted = polynomials_ref.shift_polynomial(accum, powers, minus_one=True)
+    want = accum + tgsw_ref.tgsw_external_mul(shifted, bk_coeff, 0, tp)
+
+    step = pbr.make_external_step_rows(
+        mask1, tp.decomp_length, tp.bs_log2_base, int(tp.offset),
+        lane_tile=128, mac_dtype=jnp.float32, interpret=True)
+    acc_rows = re_.acc_rows_from_n(jnp.asarray(accum))
+    got_rows = step(acc_rows, jnp.asarray(powers)[None, :], bk_dev[0])
+    got = np.asarray(re_.acc_n_from_rows(got_rows, mask1))
+    assert np.array_equal(got, want)
