@@ -1,6 +1,9 @@
 """Minimal example: encrypt two bit arrays, NAND them homomorphically,
 decrypt (reference analogue: examples/gate_nand.py)."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import nufhe_tpu as nf
 

@@ -7,6 +7,9 @@ Run on CPU with a virtual mesh:
     JAX_PLATFORMS=cpu python examples/multi_device.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import nufhe_tpu as nf

@@ -2,6 +2,9 @@
 with a pickle-free versioned container (reference analogue:
 examples/serialization.py)."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import nufhe_tpu as nf
 

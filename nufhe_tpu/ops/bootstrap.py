@@ -74,6 +74,12 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                 [bara2, jnp.zeros((pad, n), jnp.int32)], axis=0)
         acc_rows = re_.acc_rows_from_n(acc)
         bara_t = jnp.transpose(bara2)        # (n, B): per-step contiguous rows
+
+        # One fused Pallas kernel per CMUX step, looped by XLA.  (The
+        # whole-rotation single-launch variant, make_blind_rotate_rows, is
+        # measured speed-equal but a multi-second launch can trip the TPU
+        # runtime watchdog at large batch, so the per-step launch is the
+        # default.)
         step = pbr.make_external_step_rows(
             mask1, decomp_length, log2_base, offset, lane_tile=lane_tile,
             mac_dtype=dt.mac_dtype())

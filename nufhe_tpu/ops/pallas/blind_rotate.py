@@ -67,6 +67,64 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
     return step
 
 
+def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
+                           offset: int, n_steps: int, lane_tile: int = 512,
+                           mac_dtype=jnp.bfloat16, interpret: bool = False,
+                           vmem_limit_mb: int = 110):
+    """The FULL n-step blind rotation as ONE pallas_call.
+
+    Grid = (batch cells, steps); the accumulator is the revisited output
+    block (stays in VMEM across all steps of a cell, written back once),
+    bootstrap-key rows stream through the Pallas pipeline with automatic
+    prefetch double-buffering, and per-step bara slices ride along.  This
+    is the direct analogue of the reference's persistent fused kernel
+    (``nufhe/blind_rotate.mako``): one kernel launch per gate call instead
+    of 500, no accumulator HBM round-trips.
+    """
+    n_rows = mask1 * re_.N
+
+    def kernel(bara_ref, acc_in_ref, rhs_ref, out_ref):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:, :] = acc_in_ref[:, :]
+
+        out_ref[:, :] = re_.external_step(
+            out_ref[:, :], bara_ref[0], rhs_ref[0],
+            mask1=mask1, decomp_length=decomp_length,
+            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype)
+
+    def rotate(acc_rows, bara_t, bk_dev):
+        b = acc_rows.shape[-1]
+        bt = min(lane_tile, b)
+        assert b % bt == 0, (b, bt)
+        c_size, q_size = bk_dev.shape[-2], bk_dev.shape[-1]
+        bara3 = bara_t.reshape(n_steps, 1, b)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // bt, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, bt), lambda i, s: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_rows, bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, re_.L, c_size, q_size),
+                             lambda i, s: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_rows, bt), lambda i, s: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(bara3, acc_rows, bk_dev)
+
+    return rotate
+
+
 def make_external_step(mask1: int, decomp_length: int, log2_base: int,
                        offset: int, batch_tile: int = 128,
                        mac_dtype=jnp.bfloat16, interpret: bool = False,
