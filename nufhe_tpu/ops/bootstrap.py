@@ -29,19 +29,20 @@ def t32_to_phase(phase, mspace_size: int):
 
 
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
-                 use_pallas=None, lane_tile=None):
+                 use_pallas=None, lane_tile=None, slot_axis_name=None):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     On TPU (and without tensor parallelism) each CMUX step runs as one
     fused Pallas kernel in the rows layout (``ops/rows_engine`` +
     ``ops/pallas/blind_rotate``): polynomial dims on rows, batch on lanes,
     everything VMEM-resident per step.  Elsewhere the same math runs under
-    jit in the lanes layout (``ops/flat_engine``).
+    jit in the lanes layout (``ops/flat_engine``), or in the rows layout
+    for slot-sharded tensor parallelism.
     Reference: the fused ``nufhe/blind_rotate.mako`` persistent kernel.
 
     :param accum_a: (B, mask_size+1, N) int32.
     :param bk_dev: device bootstrap key (n, L, C, Q) int8
-        (C-sharded when ``axis_name`` is given).
+        (C-sharded under ``axis_name``, L-sharded under ``slot_axis_name``).
     :param bara: (B, n) int32 in [0, 2N).
     """
     from . import flat_engine as fe
@@ -56,7 +57,34 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
     lead = accum_a.shape[:-2]
 
     if use_pallas is None:
-        use_pallas = axis_name is None and jax.default_backend() == 'tpu'
+        use_pallas = (axis_name is None and slot_axis_name is None
+                      and jax.default_backend() == 'tpu')
+
+    if slot_axis_name is not None:
+        # slot-sharded tensor parallelism: rows-layout XLA path
+        acc = accum_a.reshape((-1, mask1, fe.N))
+        bara_t = jnp.transpose(bara.reshape((-1, n)))
+        acc_rows = re_.acc_rows_from_n(acc)
+        try:
+            # under shard_map the all_gather output is varying over the
+            # slot axis; the loop carry must start with matching type
+            acc_rows = jax.lax.pcast(
+                acc_rows, (slot_axis_name,), to='varying')
+        except (AttributeError, TypeError, ValueError):
+            pass
+
+        def body_s(i, a):
+            powers = jax.lax.dynamic_index_in_dim(
+                bara_t, i, axis=0, keepdims=True)
+            row = jax.lax.dynamic_index_in_dim(bk_dev, i, 0, keepdims=False)
+            return re_.external_step(
+                a, powers, row, mask1=mask1, decomp_length=decomp_length,
+                log2_base=log2_base, offset=offset,
+                mac_dtype=dt.mac_dtype(), slot_axis_name=slot_axis_name)
+
+        acc_rows = jax.lax.fori_loop(0, n, body_s, acc_rows)
+        out = re_.acc_n_from_rows(acc_rows, mask1)
+        return out.reshape(lead + (mask1, fe.N))
 
     if use_pallas:
         from .pallas import blind_rotate as pbr
@@ -112,7 +140,7 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
 
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
                      no_keyswitch=False, axis_name=None, use_pallas=None,
-                     lane_tile=None):
+                     lane_tile=None, slot_axis_name=None):
     """Full gate bootstrap on device.
 
     result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
@@ -135,7 +163,7 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     accum, _ = dtlwe.tlwe_noiseless_trivial(testvectbis, mask_size)
     accum = blind_rotate(accum, bk_dev, bara, tgsw_params,
                          axis_name=axis_name, use_pallas=use_pallas,
-                         lane_tile=lane_tile)
+                         lane_tile=lane_tile, slot_axis_name=slot_axis_name)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
     if no_keyswitch:

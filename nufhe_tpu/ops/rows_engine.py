@@ -229,12 +229,20 @@ def mac_sign_mask(c_size, q_size, dtype):
 
 
 def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
-                    axis_name=None):
+                    axis_name=None, slot_axis_name=None):
     """sum_g digits_g * key_g, rows layout.
 
     :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9.
-    :param rhs: (L, C, Q) int8 from ``transform.build_mac_rhs`` with
-        ``c_order='igu'`` (limb-major contraction index).
+    :param rhs: (L_local, C_local, Q) int8 from ``transform.build_mac_rhs``
+        (limb axes inside g-blocks on C).
+    :param axis_name: decomposition-limb tensor parallelism: rhs holds a
+        contiguous g-block C-slice; dual-channel MAC outputs are psum-ed.
+    :param slot_axis_name: slot (L) tensor parallelism — the TPU-native
+        equivalent of splitting NTT stages across chips: rhs holds a
+        contiguous slot slice of the key, each shard MACs only its slots,
+        and the per-slot dual channels are all_gather-ed before the (cheap,
+        replicated) inverse transform.  Mutually exclusive with
+        ``axis_name``.
     :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)).
     """
     b = digits.shape[-1]
@@ -252,7 +260,18 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
         a1.reshape(L, g_total, 1, R, b)], axis=2)
     lhs = lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
 
-    if axis_name is not None:
+    if slot_axis_name is not None:
+        l_local = rhs.shape[0]
+        start = jax.lax.axis_index(slot_axis_name) * l_local
+        lhs = jax.lax.dynamic_slice_in_dim(lhs, start, l_local, axis=0)
+        lo3, hi3 = _mac_dot(lhs, rhs, mask1, mac_dtype)
+        # gather the slot slices: leading axis is slot-major, so shard
+        # concatenation restores the full (L, ., .) order
+        lo3 = jax.lax.all_gather(
+            lo3, slot_axis_name, axis=0, tiled=True)
+        hi3 = jax.lax.all_gather(
+            hi3, slot_axis_name, axis=0, tiled=True)
+    elif axis_name is not None:
         lo_hi = _mac_dot(lhs, rhs, mask1, mac_dtype)
         lo3, hi3 = jax.lax.psum(lo_hi, axis_name)
     else:
@@ -295,7 +314,8 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
 
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
-                  mac_dtype=jnp.bfloat16, axis_name=None):
+                  mac_dtype=jnp.bfloat16, axis_name=None,
+                  slot_axis_name=None):
     """One CMUX step in rows layout: ACC += BK (x) decomp((X^p - 1) ACC).
 
     :param acc: (mask1*1024, b) int32 rows (j, o, i).
@@ -314,7 +334,7 @@ def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
         g_total = mask1 * decomp_length
     delta = transformed_mac(
         digits, rhs, mask1=mask1, g_total=g_total, mac_dtype=mac_dtype,
-        axis_name=axis_name)
+        axis_name=axis_name, slot_axis_name=slot_axis_name)
     return (acc + delta).astype(jnp.int32)
 
 

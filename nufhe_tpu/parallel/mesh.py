@@ -54,13 +54,16 @@ def replicate(tree, mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
-def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
-    """A jitted SPMD bootstrap: batch over 'data', external-product
-    decomposition limbs over 'model' (psum-accumulated), keyswitch local.
+def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False,
+                         mode='limbs'):
+    """A jitted SPMD bootstrap: batch over 'data'; over 'model' either the
+    external-product decomposition limbs (``mode='limbs'``, per-step psum
+    of the dual-channel MAC outputs) or the transform slots
+    (``mode='slots'``, per-step all_gather — the TPU-native equivalent of
+    splitting NTT stages across chips); keyswitch local.
 
     Returns ``fn(lwe_a, lwe_b, bk_dev, ks_arrays) -> (a, b, cv)``.
-    ``bk_dev`` must be passed C-sharded over 'model'
-    (``shard_bootstrap_key``).
+    ``bk_dev`` must be passed sharded with ``shard_bootstrap_key(mode=)``.
     """
     try:
         from jax import shard_map
@@ -69,15 +72,29 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
 
     def step(lwe_a, lwe_b, bk_dev, ks_ab, ks_cv):
         ks_arrays = dict(ab_limbs=ks_ab, cv=ks_cv)
+        tp = dict(axis_name='model') if mode == 'limbs' else \
+            dict(slot_axis_name='model')
         return dboot.bootstrap_device(
             lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
-            no_keyswitch=no_keyswitch, axis_name='model')
+            no_keyswitch=no_keyswitch, **tp)
 
-    mapped = shard_map(
-        step, mesh=mesh,
-        in_specs=(P('data'), P('data'), P(None, None, 'model', None),
-                  P(), P()),
+    bk_spec = (P(None, None, 'model', None) if mode == 'limbs'
+               else P(None, 'model', None, None))
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P('data'), P('data'), bk_spec, P(), P()),
         out_specs=(P('data'), P('data'), P('data')))
+    if mode == 'slots':
+        # the result is replicated over 'model' by construction (each shard
+        # all_gathers the full slot set before the inverse), which the
+        # varying-axes checker cannot infer statically
+        kwargs['check_vma'] = False
+    try:
+        mapped = shard_map(step, **kwargs)
+    except TypeError:  # older jax spelling
+        if 'check_vma' in kwargs:
+            kwargs['check_rep'] = kwargs.pop('check_vma')
+        mapped = shard_map(step, **kwargs)
 
     @jax.jit
     def fn(lwe_a, lwe_b, bk_dev, ks_arrays):
@@ -87,8 +104,11 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False):
     return fn
 
 
-def shard_bootstrap_key(bk_dev, mesh):
-    """Place the device bootstrap key (n, L, C, Q) sharded over 'model'
-    along the MAC contraction axis C (whole g-blocks of size 2R)."""
-    return jax.device_put(
-        bk_dev, NamedSharding(mesh, P(None, None, 'model', None)))
+def shard_bootstrap_key(bk_dev, mesh, mode='limbs'):
+    """Place the device bootstrap key (n, L, C, Q) sharded over 'model':
+    along the MAC contraction axis C (whole g-blocks of size 2R) for
+    ``mode='limbs'``, or along the transform slot axis L for
+    ``mode='slots'``."""
+    spec = (P(None, None, 'model', None) if mode == 'limbs'
+            else P(None, 'model', None, None))
+    return jax.device_put(bk_dev, NamedSharding(mesh, spec))

@@ -27,7 +27,8 @@ def keys():
     return params, cloud, rng
 
 
-def test_sharded_bootstrap_matches_single_device(keys):
+@pytest.mark.parametrize("mode", ["limbs", "slots"])
+def test_sharded_bootstrap_matches_single_device(keys, mode):
     params, cloud, rng = keys
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
@@ -46,13 +47,13 @@ def test_sharded_bootstrap_matches_single_device(keys):
         mu, tp)
 
     mesh = pmesh.make_mesh(n_data=4, n_model=2)
-    bk_sharded = pmesh.shard_bootstrap_key(bk_dev, mesh)
+    bk_sharded = pmesh.shard_bootstrap_key(bk_dev, mesh, mode=mode)
     ks_repl = pmesh.replicate(ks_arrays, mesh)
     a_sh = jax.device_put(
         jnp.asarray(lwe_a), NamedSharding(mesh, P('data', None)))
     b_sh = jax.device_put(jnp.asarray(lwe_b), NamedSharding(mesh, P('data')))
 
-    fn = pmesh.sharded_bootstrap_fn(mesh, ks_meta, mu, tp)
+    fn = pmesh.sharded_bootstrap_fn(mesh, ks_meta, mu, tp, mode=mode)
     got = fn(a_sh, b_sh, bk_sharded, ks_repl)
 
     assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
