@@ -44,6 +44,7 @@ def main():
     batch = int(os.environ.get("NUFHE_BENCH_BATCH", 16384))
     runs = int(os.environ.get("NUFHE_BENCH_RUNS", 3))
     inner = int(os.environ.get("NUFHE_BENCH_INNER", 4))
+    gate = os.environ.get("NUFHE_BENCH_GATE", "nand")  # nand | mux
 
     rng = nf.DeterministicRNG(42)
     t0 = time.time()
@@ -62,9 +63,20 @@ def main():
 
     vm = nf.VirtualMachine(cloud)
 
+    if gate == "mux":
+        # MUX: r = sel ? b : r  (baseline: nuFHE NTT MUX = 0.67 ms/bit)
+        baseline = 0.67
+        run_gate = lambda r: vm.gate_mux(ca, cb, r, dest=r)
+        step_expect = lambda e: np.where(bits_a, bits_b, e)
+    else:
+        baseline = BASELINE_MS_PER_BIT
+        run_gate = lambda r: vm.gate_nand(ca, r, dest=r)
+        step_expect = lambda e: ~(bits_a & e)
+
     # warm-up (compile) with a real D2H fence
     t0 = time.time()
     res = vm.gate_nand(ca, cb)
+    res = run_gate(res)
     np.asarray(res.b.ravel()[0])
     compile_t = time.time() - t0
     sync_t = _sync_overhead()
@@ -74,14 +86,14 @@ def main():
         r = res
         t0 = time.time()
         for _ in range(inner):
-            r = vm.gate_nand(ca, r, dest=r)
+            r = run_gate(r)
         np.asarray(r.b.ravel()[0])
         times.append((time.time() - t0 - sync_t) / inner)
 
-    # correctness check: NAND(a, NAND(a, ... NAND(a, NAND(a,b)))) chain
-    expect = ~(bits_a & bits_b)
+    # correctness check on the full chained computation
+    expect = step_expect(~(bits_a & bits_b))
     for _ in range(runs * inner):
-        expect = ~(bits_a & expect)
+        expect = step_expect(expect)
     got = nf.decrypt(secret, r)
     ok = bool(np.array_equal(got, expect))
 
@@ -89,10 +101,11 @@ def main():
     ms_per_bit = best / batch * 1000.0
 
     print(json.dumps({
-        "metric": "bootstrapped NAND ms/bit (batch {})".format(batch),
+        "metric": "bootstrapped {} ms/bit (batch {})".format(
+            gate.upper(), batch),
         "value": round(ms_per_bit, 6),
         "unit": "ms/bit",
-        "vs_baseline": round(BASELINE_MS_PER_BIT / ms_per_bit, 3),
+        "vs_baseline": round(baseline / ms_per_bit, 3),
     }))
 
     print(json.dumps({

@@ -169,6 +169,103 @@ def _twiddle(x, step, h, stride):
     return x
 
 
+# --- SWAR-packed forward transform -----------------------------------------
+#
+# Two independent polynomials ride one int32 word: w = f_a + f_b * 2^16 with
+# biased 16-bit fields f = v + 2^14.  Every intermediate DFT value satisfies
+# |v| <= 32*511 = 16352 < 2^14, so:
+#   add:  w1 + w2 - 2^14*(1 + 2^16)            (field sums < 2^16: no carry;
+#                                               fields >= 2^14: no borrow)
+#   sub:  w1 + (2^15*(1 + 2^16) - w2) - 2^14*(1 + 2^16)
+#   neg:  2^15*(1 + 2^16) - w                  (fields <= 2^15: no borrow)
+# Rolls and selects act positionwise on packed words.  This halves the
+# VPU data volume of the forward transform (the hot VMEM-bound loop).
+
+def _wrap32(v):
+    """Python int -> two's-complement int32 value."""
+    return ((v + 2**31) % 2**32) - 2**31
+
+
+_B14 = 1 << 14
+_PK_RENORM = _wrap32(_B14 * (1 + (1 << 16)))      # per-field bias 2^14
+_PK_NEG = _wrap32((_B14 * 2) * (1 + (1 << 16)))   # per-field 2^15
+
+
+def _pk_add(w1, w2):
+    return w1 + w2 - jnp.int32(_PK_RENORM)
+
+
+def _pk_sub(w1, w2):
+    return (w1 + (jnp.int32(_PK_NEG) - w2)) - jnp.int32(_PK_RENORM)
+
+
+def _pk_neg(w):
+    return jnp.int32(_PK_NEG) - w
+
+
+def _pk_rot_block(w, e, blk=R):
+    """Negacyclic rotation of packed words within blk-row blocks."""
+    e = e % (2 * blk)
+    neg = e >= blk
+    if neg:
+        e -= blk
+    if e == 0:
+        return _pk_neg(w) if neg else w
+    hi = _roll(w, e)
+    lo = _roll(w, e - blk)
+    if neg:
+        hi, lo = _pk_neg(hi), lo
+    else:
+        lo = _pk_neg(lo)
+    return jnp.where(_mask(w, 'geq_mod', blk, e), hi, lo)
+
+
+def _pk_twiddle(w, step, h, stride):
+    if h <= 1:
+        return w
+    for b in range(h.bit_length() - 1):
+        e = (step * (1 << b)) % (2 * R)
+        if e == 0:
+            continue
+        w = jnp.where(_mask(w, 'mbit', stride, h, b),
+                      _pk_rot_block(w, e), w)
+    return w
+
+
+def dif_forward_packed(dig_pk, n_pk):
+    """DIF forward of packed polynomial pairs; same dataflow as
+    ``dif_forward`` on half the words.
+
+    :param dig_pk: (M*n_pk*R, b) int32 packed digit pairs (biased fields).
+    :returns: (L*n_pk*R, b) int32 packed transform pairs.
+    """
+    stride = n_pk * R
+    hi = _pk_twiddle(dig_pk, 1, M, stride)
+    x = jnp.concatenate([dig_pk, hi], axis=0)
+    for h in (16, 8, 4, 2, 1):
+        d = h * stride
+        step = L // (2 * h)
+        is_lo = _mask(x, 'lt_mod', 2 * d, d)
+        partner = _roll(x, -d)
+        tw = _pk_twiddle(_pk_sub(x, partner), step, h, stride)
+        x = jnp.where(is_lo, _pk_add(x, partner), _roll(tw, d))
+    return x
+
+
+def pack_pairs(a, b_):
+    """Two small-int arrays (|v| < 2^14) -> packed biased words."""
+    return ((a + jnp.int32(_B14))
+            + ((b_ + jnp.int32(_B14)) << 16)).astype(jnp.int32)
+
+
+def unpack_pairs(w):
+    """Packed biased words -> (a, b) int32 values."""
+    f_a = w & jnp.int32(0xFFFF)
+    f_b = (w >> 16) & jnp.int32(0xFFFF)
+    return (f_a - jnp.int32(_B14)).astype(jnp.int32), \
+        (f_b - jnp.int32(_B14)).astype(jnp.int32)
+
+
 def dif_forward(dig, g_total):
     """DIF DFT over S' of zero-padded strided blocks, slot-major rows.
 
@@ -229,7 +326,7 @@ def mac_sign_mask(c_size, q_size, dtype):
 
 
 def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
-                    axis_name=None, slot_axis_name=None):
+                    axis_name=None, slot_axis_name=None, swar=True):
     """sum_g digits_g * key_g, rows layout.
 
     :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9.
@@ -243,6 +340,8 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
         and the per-slot dual channels are all_gather-ed before the (cheap,
         replicated) inverse transform.  Mutually exclusive with
         ``axis_name``.
+    :param swar: pack polynomial pairs two-per-int32 through the forward
+        transform (bit-exact; halves the forward's VPU data volume).
     :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)).
     """
     b = digits.shape[-1]
@@ -250,7 +349,19 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
     o_r = mask1 * R
     stride = g_total * R
 
-    xt = dif_forward(digits, g_total)        # (L*stride, b)
+    if swar and g_total % 2 == 0:
+        # SWAR: forward-transform polynomial pairs packed two-per-word
+        # (adjacent g's pair up: (2k, 2k+1) -> low/high 16-bit fields)
+        dv = digits.reshape(M, g_total // 2, 2, R, b)
+        packed = pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
+            M * (g_total // 2) * R, b)
+        xt_pk = dif_forward_packed(packed, g_total // 2)
+        ev, od = unpack_pairs(xt_pk)
+        ev = ev.reshape(L, g_total // 2, 1, R, b)
+        od = od.reshape(L, g_total // 2, 1, R, b)
+        xt = jnp.concatenate([ev, od], axis=2).reshape(L * stride, b)
+    else:
+        xt = dif_forward(digits, g_total)    # (L*stride, b)
 
     a0 = ((xt + 128) & 255) - 128
     a1 = (xt - a0) >> 8
