@@ -18,6 +18,14 @@ from nufhe_tpu.parallel import mesh as pmesh
 LWE_SIZE = 16
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    # XLA:CPU has crashed (segfault) running the shard_map programs with a
+    # large accumulated compilation cache from earlier modules; start clean.
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def keys():
     rng = DeterministicRNG(11)
