@@ -1,11 +1,13 @@
-"""Microbenchmark harness with honest device synchronization.
+"""Microbenchmarks for the device engine with honest timing.
 
 On the tunneled TPU platform ``jax.block_until_ready`` can return before
-execution finishes; the only reliable fence is a D2H transfer.  Every timing
-here therefore chains K dependent iterations and ends with a scalar D2H,
-amortizing the tunnel round-trip (~30 ms).
+execution finishes; the only reliable fence is a D2H transfer.  Every
+measurement here chains ``inner`` data-dependent iterations and ends with a
+scalar D2H, subtracting the separately-measured sync round-trip.
 
-Usage: python tools/microbench.py [gate|parts] [batch ...]
+Usage:
+    python tools/microbench.py step [batch] [lane_tile]   # fused CMUX step
+    python tools/microbench.py parts [batch]              # step components
 """
 
 import os
@@ -18,123 +20,137 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-
-def timed(fn, *args, iters=4, inner=1):
-    """fn(*args) -> pytree; returns best seconds per call (sync-corrected)."""
-    out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.tree.leaves(fn(*args))[0].ravel()[0])  # compile+flush
-    best = float('inf')
-    for _ in range(iters):
-        t0 = time.time()
-        for _ in range(inner):
-            out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0].ravel()[0])
-        best = min(best, (time.time() - t0) / inner)
-    return best
+_SYNC = None
 
 
 def sync_overhead():
-    x = jnp.zeros((1,), jnp.int32)
-    f = jax.jit(lambda v: v + 1)
-    return timed(f, x, iters=6)
+    """One D2H round-trip (the only reliable fence on the tunneled TPU)."""
+    global _SYNC
+    if _SYNC is None:
+        f = jax.jit(lambda v: v + 1)
+        x = jnp.zeros((8, 128), jnp.int32)
+        np.asarray(f(x).ravel()[0])
+        best = float('inf')
+        for _ in range(6):
+            t0 = time.time()
+            np.asarray(f(x).ravel()[0])
+            best = min(best, time.time() - t0)
+        _SYNC = best
+    return _SYNC
 
 
-def bench_gate(batch):
-    import nufhe_tpu as nf
-    rng = nf.DeterministicRNG(42)
-    secret, cloud = nf.make_key_pair(rng)
-    t0 = time.time()
-    cloud.bootstrap_key.device()
-    cloud.keyswitch_key.device()
-    print(f"key prep: {time.time()-t0:.1f}s")
-
-    bits = np.random.RandomState(0).randint(0, 2, batch).astype(bool)
-    ca = nf.encrypt(rng, secret, bits)
-    cb = nf.encrypt(rng, secret, bits)
-    vm = nf.VirtualMachine(cloud)
-
-    res = vm.gate_nand(ca, cb)
-    np.asarray(res.b.ravel()[0])
-
-    def chained():
-        r = res
-        r = vm.gate_nand(ca, r, dest=r)
-        return r.b
-
+def timed_chain(fn, x, iters=3, inner=16):
+    """fn: x -> x (same shape/dtype). Chained to serialize execution;
+    returns seconds per call with the single D2H sync subtracted."""
     ov = sync_overhead()
-    t = timed(chained, iters=3) - ov
-    print(f"batch {batch}: {t*1000:.1f} ms/gatecall = "
-          f"{t/batch*1000:.5f} ms/bit  (sync overhead {ov*1000:.1f} ms)  "
-          f"vs_baseline x{0.35/(t/batch*1000):.1f}")
+    y = fn(x)
+    np.asarray(y.ravel()[0])
+    best = float('inf')
+    for _ in range(iters):
+        y = x
+        t0 = time.time()
+        for _ in range(inner):
+            y = fn(y)
+        np.asarray(y.ravel()[0])
+        best = min(best, (time.time() - t0 - ov) / inner)
+    return best
 
 
-def bench_parts(batch):
-    from nufhe_tpu.ops import transform as dt
-    from nufhe_tpu.ops import tgsw as dtgsw
-    from nufhe_tpu.ops import tlwe as dtlwe
+def _setup(batch):
     from nufhe_tpu.params import NuFHEParameters
+    from nufhe_tpu.ops import rows_engine as re_
+    from nufhe_tpu.ops import tgsw as dtgsw
 
     params = NuFHEParameters()
     tp = params.tgsw_params
     rs = np.random.RandomState(0)
-    ov = sync_overhead()
-    print(f"sync overhead: {ov*1000:.1f} ms")
+    acc = jnp.asarray(
+        rs.randint(-2**31, 2**31, (2048, batch)).astype(np.int32))
+    powers = jnp.asarray(rs.randint(0, 2048, (1, batch)).astype(np.int32))
+    bk_coeff = rs.randint(
+        -2**31, 2**31, (1, 2, tp.decomp_length, 2, 1024)).astype(np.int32)
+    row = dtgsw.prepare_bootstrap_key_device(bk_coeff)[0]
+    return tp, re_, acc, powers, row
 
-    acc = jnp.asarray(rs.randint(-2**31, 2**31, (batch, 2, 1024)).astype(np.int32))
-    powers = jnp.asarray(rs.randint(0, 2048, (batch,)).astype(np.int32))
-    limbs = rs.randint(-128, 128, (4, 2, 64, 32, 5)).astype(np.int8)
-    row = dtgsw.expand_key_limbs_device(jnp.asarray(limbs))
-    jax.block_until_ready(row)
 
-    # individual stages (jitted separately)
-    shift = jax.jit(lambda a, p: dtlwe.monomial_shift(a, p, minus_one=True))
-    t = timed(shift, acc, powers, inner=8) - ov
-    print(f"monomial_shift:      {t*1000:8.2f} ms")
+def bench_step(batch, lane_tile):
+    from nufhe_tpu.ops import transform as dt
+    from nufhe_tpu.ops.pallas import blind_rotate as pbr
 
-    decomp = jax.jit(lambda a: dtgsw.tgsw_polynomial_decomp(
-        a, int(tp.offset), tp.decomp_length, tp.bs_log2_base
-    ).reshape(batch, 4, 1024))
-    digits = decomp(acc)
-    t = timed(decomp, acc, inner=8) - ov
-    print(f"decomp:              {t*1000:8.2f} ms")
+    tp, re_, acc, powers, row = _setup(batch)
+    step = pbr.make_external_step_rows(
+        2, tp.decomp_length, tp.bs_log2_base, int(tp.offset),
+        lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
+    f = jax.jit(lambda a: step(a, powers, row))
+    t = timed_chain(f, acc)
+    ms_bit = t * 500 / batch * 1000
+    print(f"fused CMUX step B={batch} lt={lane_tile}: {t*1000:.3f} ms "
+          f"-> {ms_bit:.5f} ms/bit (x{0.35/ms_bit:.2f} vs baseline)")
 
-    fwd = jax.jit(lambda d: dt.forward_i32(d))
-    ahat = fwd(digits)
-    t = timed(fwd, digits, inner=8) - ov
-    print(f"forward_i32:         {t*1000:8.2f} ms")
 
-    lim = jax.jit(dt.acc_limbs)
-    al = lim(ahat)
-    t = timed(lim, ahat, inner=8) - ov
-    print(f"acc_limbs:           {t*1000:8.2f} ms")
+def bench_parts(batch):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from nufhe_tpu.ops import transform as dt
 
-    mac = jax.jit(lambda a, k: dt.external_mac(a, k))
-    lo, hi = mac(al, row)
-    t = timed(mac, al, row, inner=8) - ov
-    print(f"external_mac:        {t*1000:8.2f} ms")
+    tp, re_, acc, powers, row = _setup(batch)
+    lt = min(512, batch)
+    dl, l2b, off = tp.decomp_length, tp.bs_log2_base, int(tp.offset)
+    c_size, q_size = row.shape[-2], row.shape[-1]
 
-    inv = jax.jit(dt.inverse_dual)
-    t = timed(inv, lo, hi, inner=8) - ov
-    print(f"inverse_dual:        {t*1000:8.2f} ms")
+    def make(body):
+        def kernel(p_ref, acc_ref, rhs_ref, out_ref):
+            out_ref[:, :] = body(acc_ref[:, :], p_ref[:, :], rhs_ref[:, :, :])
+        def f(a):
+            return pl.pallas_call(
+                kernel, grid=(batch // lt,),
+                in_specs=[
+                    pl.BlockSpec((1, lt), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2048, lt), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((64, c_size, q_size), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((2048, lt), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((2048, batch), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024),
+            )(powers, a, row)
+        return jax.jit(f)
 
-    # one fused external-product step (shift+decomp+fwd+mac+inv+add)
-    @jax.jit
-    def step(a, p, k):
-        sh = dtlwe.monomial_shift(a, p, minus_one=True)
-        d = dtgsw.tgsw_transformed_external_mul(
-            sh, k[None], 0, int(tp.offset), tp.decomp_length, tp.bs_log2_base)
-        return (a + d).astype(jnp.int32)
+    def b_rot(a, p, r):
+        return re_.rotate_acc(a, p, 2, minus_one=True)
 
-    t = timed(step, acc, powers, row, inner=8) - ov
-    print(f"fused step (x500 -> {t*500*1000:.0f} ms): {t*1000:8.2f} ms")
+    def b_rotdec(a, p, r):
+        rot = re_.rotate_acc(a, p, 2, minus_one=True)
+        d = re_.gadget_decomp(rot, 2, dl, l2b, off)
+        return d[:2048] + d[2048:]
+
+    def b_mac(a, p, r):
+        d = re_.gadget_decomp(a, 2, dl, l2b, off)
+        delta = re_.transformed_mac(d, r, mask1=2, g_total=2 * dl,
+                                    mac_dtype=dt.mac_dtype())
+        return delta
+
+    def b_full(a, p, r):
+        return re_.external_step(a, p, r, mask1=2, decomp_length=dl,
+                                 log2_base=l2b, offset=off,
+                                 mac_dtype=dt.mac_dtype())
+
+    print(f"sync overhead: {sync_overhead()*1000:.1f} ms")
+    for nm, body in [("rotate", b_rot), ("rot+decomp", b_rotdec),
+                     ("dec+fwd+mac+inv", b_mac), ("FULL step", b_full)]:
+        f = make(body)
+        t = timed_chain(f, acc)
+        print(f"{nm:16s}: {t*1000:8.3f} ms")
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "parts"
-    batches = [int(b) for b in sys.argv[2:]] or [4096]
-    for b in batches:
-        if mode == "gate":
-            bench_gate(b)
-        else:
-            bench_parts(b)
+    mode = sys.argv[1] if len(sys.argv) > 1 else "step"
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    if mode == "parts":
+        bench_parts(b)
+    else:
+        lt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+        bench_step(b, lt)
