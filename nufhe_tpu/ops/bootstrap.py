@@ -93,7 +93,10 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         bara2 = bara.reshape((-1, n))
         bsz = acc.shape[0]
         if lane_tile is None:
-            lane_tile = 512 if bsz >= 512 else 128
+            # largest tile fitting the 128 MB VMEM (measured: 1024 lanes
+            # ~ 75 MB peak; 2048 exceeds capacity)
+            lane_tile = 1024 if bsz >= 1024 else (
+                512 if bsz >= 512 else 128)
         pad = (-bsz) % lane_tile
         if pad:
             acc = jnp.concatenate(

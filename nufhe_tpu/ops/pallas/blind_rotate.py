@@ -28,7 +28,7 @@ from .. import rows_engine as re_
 def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, lane_tile: int = 128,
                             mac_dtype=jnp.bfloat16, interpret: bool = False,
-                            vmem_limit_mb: int = 100):
+                            vmem_limit_mb: int = 120):
     """Rows-layout fused step kernel: polynomial dims on rows (cheap
     vreg-reindex rolls), batch on lanes (one lane tile per grid cell)."""
     n_rows = mask1 * re_.N
@@ -70,7 +70,7 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
 def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
                            offset: int, n_steps: int, lane_tile: int = 512,
                            mac_dtype=jnp.bfloat16, interpret: bool = False,
-                           vmem_limit_mb: int = 110):
+                           vmem_limit_mb: int = 120):
     """The FULL n-step blind rotation as ONE pallas_call.
 
     Grid = (batch cells, steps); the accumulator is the revisited output
@@ -128,7 +128,7 @@ def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
 def make_external_step(mask1: int, decomp_length: int, log2_base: int,
                        offset: int, batch_tile: int = 128,
                        mac_dtype=jnp.bfloat16, interpret: bool = False,
-                       vmem_limit_mb: int = 100):
+                       vmem_limit_mb: int = 120):
     """Build ``step(acc_q, p, rhs_row) -> acc_q`` running as a Pallas kernel.
 
     :param batch_tile: rows per grid cell; the caller pads the batch to a
