@@ -36,41 +36,38 @@ _MU = int(phase_to_t32(1, 8))
 
 
 def get_shape(obj):
-    if hasattr(obj, 'shape'):
-        return obj.shape
-    elif isinstance(obj, list):
+    """Batch shape of a gate argument: a ciphertext, an array, or a plain
+    (nested) list of booleans.  Reference behavior: nufhe/gates.py:42-48."""
+    shape = getattr(obj, 'shape', None)
+    if shape is not None:
+        return tuple(shape)
+    if isinstance(obj, list):
         return np.asarray(obj).shape
-    raise ValueError(
-        "An object of type " + str(type(obj)) + " is not array-like")
-
-
-def _result_shape_pair(shape1, shape2):
-    if len(shape1) > len(shape2):
-        shape2 = (1,) * (len(shape1) - len(shape2)) + tuple(shape2)
-    else:
-        shape1 = (1,) * (len(shape2) - len(shape1)) + tuple(shape1)
-    if any((l1 != l2 and l1 > 1 and l2 > 1) for l1, l2 in zip(shape1, shape2)):
-        raise ValueError(
-            "Incompatible shapes: {s1}, {s2}".format(s1=shape1, s2=shape2))
-    return tuple((l1 if l1 > 1 else l2) for l1, l2 in zip(shape1, shape2))
+    raise ValueError("not an array-like gate argument: %r" % (type(obj),))
 
 
 def result_shape(*shapes):
-    if len(shapes) == 1:
-        return shapes[0]
-    elif len(shapes) == 2:
-        return _result_shape_pair(*shapes)
-    return _result_shape_pair(shapes[0], result_shape(*shapes[1:]))
+    """Numpy-style broadcast of any number of batch shapes (the shape of a
+    gate's output given its inputs').  Raises ValueError when some axis pair
+    disagrees with both sides > 1.  Reference behavior: nufhe/gates.py:51-69.
+    """
+    try:
+        return np.broadcast_shapes(*shapes)
+    except ValueError:
+        raise ValueError("gate argument shapes do not broadcast: %s"
+                         % (list(map(tuple, shapes)),))
 
 
 def check_shape(result, *args):
-    rshape = result_shape(*[get_shape(arg) for arg in args])
-    if (len(rshape) > len(result.shape)
-            or rshape != result.shape[len(result.shape) - len(rshape):]):
+    """Destination-shape validation: the broadcast of the argument shapes
+    must equal a trailing slice of the destination shape (extra leading
+    destination axes replicate).  Reference behavior: nufhe/gates.py:72-78."""
+    derived = result_shape(*map(get_shape, args))
+    dest = tuple(result.shape)
+    if dest[max(len(dest) - len(derived), 0):] != derived:
         raise ValueError(
-            "The shape of the result derived from the arguments "
-            "{derived} cannot be broadcasted to the destination {dest}".format(
-                derived=rshape, dest=result.shape))
+            "gate result shape %s does not accept the broadcast "
+            "argument shape %s" % (dest, derived))
 
 
 def _broadcast_flat(ct, shape, lwe_size):

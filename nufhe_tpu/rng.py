@@ -17,11 +17,6 @@ import numpy as np
 
 from .numeric import Torus32, Int32, double_to_t32
 
-_FLOAT = np.dtype("float64")
-_MANTISSA_INT = np.dtype("uint64")
-_BPF = np.finfo(_FLOAT).nmant + 1
-_RECIP_BPF = 2.0 ** (-_BPF)
-
 
 class DeterministicRNG:
     """Fast, seedable, not cryptographically secure RNG (for testing).
@@ -64,30 +59,23 @@ class SecureRNG:
         nbytes = length * np.dtype(Int32).itemsize
         return np.frombuffer(urandom(nbytes), Int32).reshape(shape).copy()
 
-    def _uniform_float(self, length):
-        # Uniform floats in the open interval (0, 1): draw bpf-1 mantissa
-        # bits, map k -> (2k+1) * 2^-bpf.
-        nbytes = length * _MANTISSA_INT.itemsize
-        mantissa_bits = np.frombuffer(urandom(nbytes), _MANTISSA_INT)
-        mantissa_bits = mantissa_bits >> np.uint64(_MANTISSA_INT.itemsize * 8 - (_BPF - 1))
-        mantissa_bits = mantissa_bits * np.uint64(2) + np.uint64(1)
-        return mantissa_bits * _RECIP_BPF
+    def _open_unit_interval(self, count):
+        """``count`` doubles strictly inside (0, 1): a raw 64-bit draw k is
+        mapped to the midpoint (k + 1/2) / 2^64 of its dyadic cell, so 0 and
+        1 are unreachable and log() below is always finite."""
+        raw = np.frombuffer(urandom(count * 8), np.uint64)
+        return (raw.astype(np.float64) + 0.5) * 2.0 ** -64
 
     def gauss(self, shape, std_dev):
-        orig_length = int(np.prod(shape, dtype=np.int64))
-        length = orig_length + orig_length % 2
-
-        u1 = self._uniform_float(length // 2)
-        u2 = self._uniform_float(length // 2)
-
-        r = (-2 * np.log(u1)) ** 0.5
-        theta = 2 * np.pi * u2
-
-        z0 = r * np.cos(theta)
-        z1 = r * np.sin(theta)
-
-        result = np.concatenate([z0, z1])[:orig_length]
-        return result.reshape(shape) * std_dev
+        # Box-Muller: each pair of unit uniforms yields an (amplitude,
+        # angle) polar draw, giving two independent standard normals.
+        total = int(np.prod(shape, dtype=np.int64))
+        pairs = (total + 1) // 2
+        amplitude = np.sqrt(-2.0 * np.log(self._open_unit_interval(pairs)))
+        angle = self._open_unit_interval(pairs) * (2.0 * np.pi)
+        normals = np.concatenate(
+            [amplitude * np.cos(angle), amplitude * np.sin(angle)])
+        return normals[:total].reshape(shape) * std_dev
 
 
 def rand_uniform_bool(rng, shape):
