@@ -93,24 +93,41 @@ void nussbaumer_forward_u64(const int32_t* in, uint64_t* out, long n_polys) {
         forward_one(in + p * N, out + p * (long)(L * R));
 }
 
-// residues mod 2^64 -> 5 balanced radix-2^8 limbs of the mod-2^38 value
-// in:  (count,) uint64;  out: (count, 5) int8
+namespace {
+
+// balanced radix-2^8 split of a centered mod-2^38 value; digits in
+// [-128, 127], out stride 2 (interleaved with the other side's split)
+inline void split_one(int64_t v, int8_t* o) {
+    for (int j = 0; j < 5; ++j) {
+        int64_t l0 = ((v + 128) & 255) - 128;
+        o[j * 2] = (int8_t)l0;
+        v = (v - l0) >> 8;
+    }
+}
+
+inline int64_t center38(uint64_t r) {
+    int64_t v = (int64_t)(r & ((1ull << 38) - 1));
+    return v - ((v >> 37) << 38);  // center into [-2^37, 2^37)
+}
+
+}  // namespace
+
+// residues mod 2^64 -> two-sided 5-limb balanced radix-2^8 splits of the
+// mod-2^38 value: limbs of +v and of (-v mod 2^38).  Storing both plain
+// decompositions lets the device bake the negacyclic signs into the int8
+// MAC rhs without ever negating a limb (-128 has no int8 negation).
+// in:  (count,) uint64;  out: (count, 5, 2) int8
 void limb_split_38(const uint64_t* in, int8_t* out, long count) {
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
     for (long idx = 0; idx < count; ++idx) {
-        int64_t v = (int64_t)(in[idx] & ((1ull << 38) - 1));
-        v -= (v >> 37) << 38;  // center into [-2^37, 2^37)
-        for (int j = 0; j < 5; ++j) {
-            int64_t l0 = ((v + 128) & 255) - 128;
-            out[idx * 5 + j] = (int8_t)l0;
-            v = (v - l0) >> 8;
-        }
+        split_one(center38(in[idx]), out + idx * 10);
+        split_one(center38((uint64_t)0 - in[idx]), out + idx * 10 + 1);
     }
 }
 
-// fused: (n_polys, 1024) int32 -> (n_polys, 64, 32, 5) int8 key limbs
+// fused: (n_polys, 1024) int32 -> (n_polys, 64, 32, 5, 2) int8 key limbs
 void bootstrap_key_limbs(const int32_t* in, int8_t* out, long n_polys) {
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
@@ -118,15 +135,10 @@ void bootstrap_key_limbs(const int32_t* in, int8_t* out, long n_polys) {
     for (long p = 0; p < n_polys; ++p) {
         uint64_t buf[L * R];
         forward_one(in + p * N, buf);
-        int8_t* o = out + p * (long)(L * R * 5);
+        int8_t* o = out + p * (long)(L * R * 10);
         for (long idx = 0; idx < L * R; ++idx) {
-            int64_t v = (int64_t)(buf[idx] & ((1ull << 38) - 1));
-            v -= (v >> 37) << 38;
-            for (int j = 0; j < 5; ++j) {
-                int64_t l0 = ((v + 128) & 255) - 128;
-                o[idx * 5 + j] = (int8_t)l0;
-                v = (v - l0) >> 8;
-            }
+            split_one(center38(buf[idx]), o + idx * 10);
+            split_one(center38((uint64_t)0 - buf[idx]), o + idx * 10 + 1);
         }
     }
 }

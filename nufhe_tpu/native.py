@@ -52,10 +52,14 @@ def _load():
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(_SRC)):
                 cxx = os.environ.get("CXX", "g++")
+                # per-process temp name: concurrent first-use builds must
+                # not interleave writes to a shared path (the os.replace
+                # below is atomic, the compile is not)
+                tmp = "%s.%d.tmp" % (so, os.getpid())
                 cmd = [cxx, "-O3", "-march=native", "-fPIC", "-shared",
-                       "-fopenmp", _SRC, "-o", so + ".tmp"]
+                       "-fopenmp", _SRC, "-o", tmp]
                 subprocess.run(cmd, check=True, capture_output=True)
-                os.replace(so + ".tmp", so)
+                os.replace(tmp, so)
             lib = ctypes.CDLL(so)
             lib.nussbaumer_forward_u64.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
@@ -91,8 +95,9 @@ def forward_u64(a):
 
 
 def bootstrap_key_limbs(bk_coeff_flat):
-    """(n_polys, 1024) int32 -> (n_polys, 64, 32, 5) int8 transformed-key
-    limbs (forward transform + mod-2^38 balanced radix-2^8 split)."""
+    """(n_polys, 1024) int32 -> (n_polys, 64, 32, 5, 2) int8 two-sided
+    transformed-key limbs (forward transform + mod-2^38 balanced radix-2^8
+    splits of +v and -v; see ``ops.transform.key_limbs_host``)."""
     from .ref import transform_ref as tr
     from .ops import transform as dt
 
@@ -100,6 +105,6 @@ def bootstrap_key_limbs(bk_coeff_flat):
     flat = np.ascontiguousarray(bk_coeff_flat, dtype=np.int32)
     if lib is None:
         return dt.key_limbs_host(tr.forward(flat))
-    out = np.empty((flat.shape[0], tr.L, tr.R, 5), np.int8)
+    out = np.empty((flat.shape[0], tr.L, tr.R, 5, 2), np.int8)
     lib.bootstrap_key_limbs(flat.ctypes.data, out.ctypes.data, flat.shape[0])
     return out

@@ -212,14 +212,8 @@ def gadget_decomp_flat(rot, mask1, decomp_length, log2_base, offset):
     return jnp.concatenate(parts, axis=-1).astype(jnp.int32)
 
 
-def mac_sign_mask(c_size, q_size, dtype):
-    u = jax.lax.broadcasted_iota(jnp.int32, (c_size, q_size), 0) % R
-    k = jax.lax.broadcasted_iota(jnp.int32, (c_size, q_size), 1) % R
-    return jnp.where(k >= u, 1, -1).astype(dtype)
-
-
 def external_mul_flat(sample_q, rhs_row, *, mask1, decomp_length, log2_base,
-                      offset, mac_dtype=jnp.bfloat16, axis_name=None):
+                      offset, mac_dtype=jnp.int8, axis_name=None):
     """BK_row (x) decomp(sample): the transformed external product.
 
     Pure jnp on 2D arrays — runs identically under jit/XLA and inside a
@@ -252,7 +246,7 @@ def external_mul_flat(sample_q, rhs_row, *, mask1, decomp_length, log2_base,
 
 
 def transformed_mac_flat(digits, rhs_row, *, mask1, g_total,
-                         mac_dtype=jnp.bfloat16, axis_name=None):
+                         mac_dtype=jnp.int8, axis_name=None):
     """sum_g digits_g * key_g: DIF forward, per-slot MXU matmuls,
     dual-channel recombination, DIT inverse, normalization.
 
@@ -268,7 +262,7 @@ def transformed_mac_flat(digits, rhs_row, *, mask1, g_total,
     a0 = a0.astype(mac_dtype)
     a1 = a1.astype(mac_dtype)
 
-    sgn = mac_sign_mask(c_size, q_size, mac_dtype)
+    from .transform import mac_accum_dtype
     lo_parts = [[] for _ in range(mask1)]
     hi_parts = [[] for _ in range(mask1)]
     for t in range(L):
@@ -277,10 +271,11 @@ def transformed_mac_flat(digits, rhs_row, *, mask1, g_total,
             sl = slice(g * 2 * N + t * R, g * 2 * N + t * R + R)
             lhs_chunks += [a0[..., sl], a1[..., sl]]
         lhs_t = jnp.concatenate(lhs_chunks, axis=-1)      # (rows, C)
-        rhs_t = rhs_row[t].astype(mac_dtype) * sgn        # (C, Q)
+        rhs_t = rhs_row[t].astype(mac_dtype)              # (C, Q), pre-signed
         out_t = jax.lax.dot_general(
             lhs_t, rhs_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+            preferred_element_type=mac_accum_dtype(mac_dtype)
+            ).astype(jnp.int32)
         lo_t = None
         hi_t = None
         for s in range(5):
@@ -312,7 +307,7 @@ def transformed_mac_flat(digits, rhs_row, *, mask1, g_total,
 
 
 def external_step(acc_q, p, rhs_row, *, mask1, decomp_length, log2_base,
-                  offset, mac_dtype=jnp.bfloat16, axis_name=None):
+                  offset, mac_dtype=jnp.int8, axis_name=None):
     """One full CMUX step: ACC += BK_row (x) decomp((X^p - 1) ACC)."""
     rot = rotate_q(acc_q, p, minus_one=True)
     delta = external_mul_flat(

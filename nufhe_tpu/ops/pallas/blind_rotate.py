@@ -27,7 +27,7 @@ from .. import rows_engine as re_
 
 def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, lane_tile: int = 128,
-                            mac_dtype=jnp.bfloat16, interpret: bool = False,
+                            mac_dtype=jnp.int8, interpret: bool = False,
                             vmem_limit_mb: int = 120):
     """Rows-layout fused step kernel: polynomial dims on rows (cheap
     vreg-reindex rolls), batch on lanes (one lane tile per grid cell)."""
@@ -69,7 +69,7 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
 
 def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
                            offset: int, n_steps: int, lane_tile: int = 512,
-                           mac_dtype=jnp.bfloat16, interpret: bool = False,
+                           mac_dtype=jnp.int8, interpret: bool = False,
                            vmem_limit_mb: int = 120):
     """The FULL n-step blind rotation as ONE pallas_call.
 
@@ -127,7 +127,7 @@ def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
 
 def make_external_step(mask1: int, decomp_length: int, log2_base: int,
                        offset: int, batch_tile: int = 128,
-                       mac_dtype=jnp.bfloat16, interpret: bool = False,
+                       mac_dtype=jnp.int8, interpret: bool = False,
                        vmem_limit_mb: int = 120):
     """Build ``step(acc_q, p, rhs_row) -> acc_q`` running as a Pallas kernel.
 
@@ -173,7 +173,7 @@ def make_external_step(mask1: int, decomp_length: int, log2_base: int,
 
 def blind_rotate_pallas(acc_q, bk_dev, bara, *, mask1, decomp_length,
                         log2_base, offset, batch_tile=128,
-                        mac_dtype=jnp.bfloat16, interpret=False):
+                        mac_dtype=jnp.int8, interpret=False):
     """Full n-step blind rotation over the Pallas step kernel.
 
     :param acc_q: (B, mask1*N) int32 q-layout accumulator (B padded to a

@@ -23,7 +23,7 @@ Data layouts (rows x batch-lanes), all row strides multiples of 8:
   inverse (L*128, b):      row = t*128 + ch*64 + o*32 + k  (ch = lo/hi)
 
 The mathematics is identical to ``ops/flat_engine`` (same DIF/DIT, same
-dual-channel mod-2^38 inverse, same bf16 limb MAC, bit-exact vs
+dual-channel mod-2^38 inverse, same int8 limb MAC, bit-exact vs
 ``ref/transform_ref``); only the axis assignment differs.  The MAC is one
 batched ``dot_general`` over all L slots: (L, C, Q) x (L, C, b) ->
 (L, Q, b), contracting the row axis — batch stays on lanes throughout.
@@ -172,8 +172,11 @@ def _twiddle(x, step, h, stride):
 # --- SWAR-packed forward transform -----------------------------------------
 #
 # Two independent polynomials ride one int32 word: w = f_a + f_b * 2^16 with
-# biased 16-bit fields f = v + 2^14.  Every intermediate DFT value satisfies
-# |v| <= 32*511 = 16352 < 2^14, so:
+# biased 16-bit fields f = v + 2^14.  Value bounds: digits reach -512 and
+# negacyclic sign flips make +2^14 attainable, so intermediate DFT values
+# satisfy |v| <= 2^14 (tight: operand fields per stage are bounded by
+# 2^14 + 512*2^s and only final-stage OUTPUT fields hit exactly 2^15 —
+# they are never operands of a further packed add).  Hence:
 #   add:  w1 + w2 - 2^14*(1 + 2^16)            (field sums < 2^16: no carry;
 #                                               fields >= 2^14: no borrow)
 #   sub:  w1 + (2^15*(1 + 2^16) - w2) - 2^14*(1 + 2^16)
@@ -319,19 +322,13 @@ def normalize_dual(lo, hi):
             ).astype(jnp.int32)
 
 
-def mac_sign_mask(c_size, q_size, dtype):
-    u = jax.lax.broadcasted_iota(jnp.int32, (c_size, q_size), 0) % R
-    k = jax.lax.broadcasted_iota(jnp.int32, (c_size, q_size), 1) % R
-    return jnp.where(k >= u, 1, -1).astype(dtype)
-
-
-def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
+def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
                     axis_name=None, slot_axis_name=None, swar=True):
     """sum_g digits_g * key_g, rows layout.
 
     :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9.
     :param rhs: (L_local, C_local, Q) int8 from ``transform.build_mac_rhs``
-        (limb axes inside g-blocks on C).
+        (limb axes inside g-blocks on C; negacyclic signs baked in).
     :param axis_name: decomposition-limb tensor parallelism: rhs holds a
         contiguous g-block C-slice; dual-channel MAC outputs are psum-ed.
     :param slot_axis_name: slot (L) tensor parallelism — the TPU-native
@@ -399,15 +396,21 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.bfloat16,
 
 
 def _mac_dot(lhs, rhs, mask1, mac_dtype):
-    """(L, C, b) x (L, C, Q) -> dual-channel (L, mask1*R, b) accumulators."""
-    c_size, q_size = rhs.shape[-2], rhs.shape[-1]
+    """(L, C, b) x (L, C, Q) -> dual-channel (L, mask1*R, b) accumulators.
+
+    The rhs carries the negacyclic signs baked in (``build_mac_rhs``), so
+    this is a direct dot: int8 x int8 -> int32 on the TPU MXU (exact:
+    |products| <= 2^14, 256-term sums <= 2^22), f32 x f32 -> f32 elsewhere.
+    """
     o_r = mask1 * R
-    sgn = mac_sign_mask(c_size, q_size, mac_dtype)
-    rhs_bf = rhs.astype(mac_dtype) * sgn
+    from .transform import mac_accum_dtype
     out = jax.lax.dot_general(
-        rhs_bf, lhs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    # out: (L, Q, b); Q = s*o_r + o*R + k, 6 groups (group 5 zero)
+        rhs.astype(mac_dtype), lhs,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=mac_accum_dtype(mac_dtype))
+    if out.dtype != jnp.int32:
+        out = out.astype(jnp.int32)
+    # out: (L, Q, b); Q = s*o_r + o*R + k, 6 groups (group 5 true zeros)
     lo = None
     hi = None
     for s in range(5):
@@ -425,7 +428,7 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
 
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
-                  mac_dtype=jnp.bfloat16, axis_name=None,
+                  mac_dtype=jnp.int8, axis_name=None,
                   slot_axis_name=None):
     """One CMUX step in rows layout: ACC += BK (x) decomp((X^p - 1) ACC).
 

@@ -25,19 +25,21 @@ def tgsw_polynomial_decomp(sample, offset, decomp_length: int, log2_base: int):
 
 def bootstrap_key_limbs_host(bk_coeff):
     """Host part of bootstrap-key preparation: exact forward transform
-    (u64 numpy) + mod-2^38 reduction + balanced radix-2^8 limb split.
+    (u64 numpy) + mod-2^38 reduction + two-sided balanced radix-2^8 limb
+    split (limbs of +v and of -v mod 2^38; see ``transform.key_limbs_host``).
 
     :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32.
-    :returns: (n, G, O, L, R, KEY_LIMBS) int8 numpy array (compact; the
-        negacyclic expansion into MAC-rhs layout happens on device).
+    :returns: (n, G, O, L, R, KEY_LIMBS, 2) int8 numpy array (compact; the
+        negacyclic sign-baking expansion into MAC-rhs layout happens on
+        device).
     """
     from .. import native
 
     n_rows, mask1, decomp, mask1_o, poly_n = bk_coeff.shape
     flat = np.asarray(bk_coeff).reshape(-1, poly_n)
-    limbs = native.bootstrap_key_limbs(flat)          # (., L, R, KL) i8
+    limbs = native.bootstrap_key_limbs(flat)          # (., L, R, KL, 2) i8
     return limbs.reshape(
-        n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS)
+        n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS, 2)
 
 
 def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50):
@@ -45,9 +47,9 @@ def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50):
 
     :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32
         numpy array (coefficient-domain TGSW bootstrap key).
-    :returns: (n, L, C, Q) int8 device array — per-row MAC rhs in unsigned-
-        rotation form (signs applied per step via the static mask),
-        C = G*2R, Q = 5*O*R.
+    :returns: (n, L, C, Q) int8 device array — per-row MAC rhs with the
+        negacyclic signs baked in (direct int8 MXU operand), C = G*2R,
+        Q = 6*O*R (5 live shift groups + 1 true-zero pad group).
     """
     limbs = bootstrap_key_limbs_host(bk_coeff)
     build = jax.jit(dt.build_mac_rhs)
@@ -63,7 +65,7 @@ def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,
     """One external product: returns BK_row (x) decomp(accum).
 
     Decompose -> gather-free DIF forward transform (exact i32) -> ONE
-    batched bf16 matmul per slot on the MXU (f32 accumulation, exact
+    batched int8 matmul per slot on the MXU (int32 accumulation, exact
     integer) -> dual-channel DIT inverse -> exact result mod 2^32.
     Implementation: ``ops/flat_engine.external_mul_flat``.
     Reference: ``nufhe/tgsw_gpu.py:110-169``.

@@ -11,7 +11,7 @@ L=64), engineered for TPU:
   ~30x slower than static slicing);
 - the transform-domain MAC is ONE batched matmul per bootstrap-key row:
   ``(B, L, C) x (L, C, Q) -> (B, L, Q)`` with C = G*2R (acc limbs x
-  decomposition rows x lane) and Q = 5*O*R (shift groups x output polys x
+  decomposition rows x lane) and Q = 6*O*R (shift groups x output polys x
   lane), int8 operands with int32 accumulation (exact: |products| <= 2^14,
   256-term sums <= 2^22) — this is what rides the MXU;
 - the unscaled inverse transform runs on a redundant two-channel i32
@@ -41,7 +41,7 @@ L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT  # inverse transform is unscaled by 2^6
 
-# Limb formats.  Both MAC operands are 8-bit (int8 or bf16-exact):
+# Limb formats.  Both MAC operands are 8-bit int8 (f32-exact fallback):
 # key side: 5 balanced radix-2^8 limbs cover mod-2^38 values;
 # acc side: 2 limbs cover the forward-transformed digits (|.| <= 2^14).
 KEY_LIMB_BITS = 8
@@ -123,15 +123,9 @@ def forward_i32(x):
 # --- key preparation (host limb split + device negacyclic expansion) ---
 
 
-def key_limbs_host(bhat_u64):
-    """Host-side: split key transforms (residues mod 2^64, needed mod 2^38)
-    into KEY_LIMBS balanced radix-2^8 limbs.
-
-    :param bhat_u64: numpy uint64, output of ``ref.transform_ref.forward``.
-    :returns: numpy int8 (..., KEY_LIMBS), exact: |limbs| <= 128.
-    """
-    v = (bhat_u64 & np.uint64(2**38 - 1)).astype(np.int64)
-    v = v - ((v >> 37) << 38)  # center into [-2^37, 2^37)
+def _limb_split_38(v):
+    """Balanced radix-2^8 split of centered int64 values in [-2^37, 2^37):
+    KEY_LIMBS int8 digits, each in [-128, 127]."""
     limbs = []
     for _ in range(KEY_LIMBS):
         l0 = ((v + 128) & 255) - 128
@@ -140,25 +134,40 @@ def key_limbs_host(bhat_u64):
     return np.stack(limbs, axis=-1)
 
 
-def mac_dtype():
-    """MAC operand dtype: bf16 on TPU (MXU-native), f32 elsewhere (the CPU
-    backend has no bf16 dot).  Both are exact for 8-bit integer operands
-    with f32 accumulation."""
-    return jnp.bfloat16 if jax.default_backend() == 'tpu' else jnp.float32
+def key_limbs_host(bhat_u64):
+    """Host-side: split key transforms (residues mod 2^64, needed mod 2^38)
+    into KEY_LIMBS balanced radix-2^8 limbs — TWO-SIDED: limbs of +v and of
+    (-v mod 2^38).
 
+    The negacyclic expansion needs sgn(u, k) * v per rhs entry.  Negating a
+    limb vector at runtime would produce +128 (unrepresentable in int8)
+    whenever a limb is -128; storing separate plain decompositions of +v
+    and -v sidesteps that entirely — every stored digit is in [-128, 127]
+    and nothing is negated after this point, enabling the direct int8 MXU
+    MAC with int32 accumulation.
 
-def sign_mask(c_size: int, q_size: int):
-    """The negacyclic sign pattern sgn(u, k) = +1 if k >= u else -1, tiled
-    over the (C, Q) MAC operand layout (u = c mod R, k = q mod R).
-
-    Signs are applied at matmul time (bf16) rather than baked into the
-    stored int8 rhs: limb value -128 negates to +128, which int8 cannot
-    hold but bf16 represents exactly.
+    :param bhat_u64: numpy uint64, output of ``ref.transform_ref.forward``.
+    :returns: numpy int8 (..., KEY_LIMBS, 2); [..., 0] = limbs(+v),
+        [..., 1] = limbs(-v mod 2^38).
     """
-    u = np.arange(c_size) % R
-    k = np.arange(q_size) % R
-    sgn = np.where(k[None, :] >= u[:, None], 1.0, -1.0).astype(np.float32)
-    return jnp.asarray(sgn, mac_dtype())
+    r = bhat_u64 & np.uint64(2**38 - 1)
+    v = r.astype(np.int64)
+    v = v - ((v >> 37) << 38)                    # center into [-2^37, 2^37)
+    w = ((np.uint64(2**38) - r) & np.uint64(2**38 - 1)).astype(np.int64)
+    w = w - ((w >> 37) << 38)
+    return np.stack([_limb_split_38(v), _limb_split_38(w)], axis=-1)
+
+
+def mac_dtype():
+    """MAC operand dtype: int8 on TPU (native MXU int8 x int8 -> int32,
+    2x bf16 peak, no output cast), f32 elsewhere (exact for 8-bit operands:
+    |products| <= 2^14, 256-term sums <= 2^22 < 2^24)."""
+    return jnp.int8 if jax.default_backend() == 'tpu' else jnp.float32
+
+
+def mac_accum_dtype(dtype):
+    """Accumulator/preferred element type for the MAC dot."""
+    return jnp.int32 if jnp.issubdtype(dtype, jnp.integer) else jnp.float32
 
 
 def _bitrev6(t):
@@ -172,36 +181,44 @@ BITREV_L = np.array([_bitrev6(t) for t in range(L)])
 
 
 def build_mac_rhs(limbs, bitrev_order=True, n_groups=6):
-    """Device-side: compact transformed-key limbs -> the MAC rhs operand
-    (unsigned-rotation form; apply ``sign_mask`` at matmul time).
+    """Device-side: compact two-sided transformed-key limbs -> the MAC rhs
+    operand with the negacyclic signs BAKED IN (pure int8; the matmul is a
+    direct int8 x int8 -> int32 contraction, no runtime sign mask).
 
     rhs[..., p, c, q] with c = g*(2R) + i*R + u, q = s*(O*R) + o*R + k is
-    limbs[g, o, t(p), (k-u)%R, s-i] (zero outside 0 <= s-i < KEY_LIMBS), so
-    that sign_mask * rhs is the (u -> k) negacyclic-multiplication matrix
-    of bhat[g, o, t] limb (s - i).  Expansion is R static rolls (matrix row
-    u is the limb vector rotated by u) — no gathers.
+    limb j = s-i of sgn(u, k) * bhat[g, o, t(p)] at rotation (k-u)%R, where
+    sgn = +1 if k >= u else -1 — realized by selecting the limbs of +v
+    (k >= u) or of -v mod 2^38 (k < u), both plain balanced decompositions
+    (see ``key_limbs_host``).  Expansion is R static rolls (matrix row u is
+    the limb vector rotated by u) plus a static k-mask select — no gathers.
 
-    :param limbs: (..., G, O, L, R, KEY_LIMBS) int8 device array.
+    :param limbs: (..., G, O, L, R, KEY_LIMBS, 2) int8 device array.
     :param bitrev_order: store slot p = key frequency bitrev_6(p), matching
         the DIF-forward/DIT-inverse dataflow of ``ops/flat_engine`` (no
         bit-reversal permutation anywhere on the hot path).
     :param n_groups: shift groups in Q (>= SHIFT_GROUPS; the default 6 pads
-        Q to 384 = 3 lane tiles, group 5 all-zero).
+        Q to 384 = 3 lane tiles, group s with 8s >= 38 is true zeros —
+        its weight 2^(8s) is 0 mod 2^38).
     :returns: (..., L, G*2R, n_groups*O*R) int8.
     """
-    g, o_sz = limbs.shape[-5], limbs.shape[-4]
-    lead = limbs.shape[:-5]
+    g, o_sz = limbs.shape[-6], limbs.shape[-5]
+    lead = limbs.shape[:-6]
     if bitrev_order:
-        limbs = jnp.take(limbs, jnp.asarray(BITREV_L), axis=-3)
-    # rows[..., u, k, j] = limbs[..., (k-u)%R, j]
-    rows = jnp.stack([jnp.roll(jnp.moveaxis(limbs, -1, -2), u, axis=-1)
-                      for u in range(R)], axis=-3)   # (..., G,O,L,u,j,k)
+        limbs = jnp.take(limbs, jnp.asarray(BITREV_L), axis=-4)
+    pos = jnp.moveaxis(limbs[..., 0], -1, -2)        # (..., G,O,L,j,r)
+    neg = jnp.moveaxis(limbs[..., 1], -1, -2)
+    k_idx = np.arange(R)
+    # rows[..., u, k, j] = limbs[sgn(u,k)][..., (k-u)%R, j]
+    rows = jnp.stack(
+        [jnp.where(jnp.asarray(k_idx >= u),
+                   jnp.roll(pos, u, axis=-1), jnp.roll(neg, u, axis=-1))
+         for u in range(R)], axis=-3)                # (..., G,O,L,u,j,k)
     rows = jnp.moveaxis(rows, -2, -1)                # (..., G,O,L,u,k,j)
     zero = jnp.zeros(lead + (g, o_sz, L, R, R), jnp.int8)
 
     def limb(i, s):
         j = s - i
-        if 0 <= j < KEY_LIMBS:
+        if 0 <= j < KEY_LIMBS and 8 * s < 38:
             return rows[..., j]
         return zero
 

@@ -39,7 +39,7 @@ def sync_overhead():
     return _SYNC
 
 
-def timed_chain(fn, x, iters=3, inner=16):
+def timed_chain(fn, x, iters=4, inner=48):
     """fn: x -> x (same shape/dtype). Chained to serialize execution;
     returns seconds per call with the single D2H sync subtracted."""
     ov = sync_overhead()
@@ -138,8 +138,55 @@ def bench_parts(batch):
                                  log2_base=l2b, offset=off,
                                  mac_dtype=dt.mac_dtype())
 
+    import jax.numpy as jnp
+    from nufhe_tpu.ops import rows_engine as re2
+
+    def b_fwd(a, p, r):
+        d = re2.gadget_decomp(a, 2, dl, l2b, off)
+        g_total = 2 * dl
+        dv = d.reshape(re2.M, g_total // 2, 2, re2.R, d.shape[-1])
+        packed = re2.pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
+            re2.M * (g_total // 2) * re2.R, d.shape[-1])
+        xt = re2.dif_forward_packed(packed, g_total // 2)
+        return xt[:2048] + xt[2048:]
+
+    def b_fwdmac(a, p, r):
+        d = re2.gadget_decomp(a, 2, dl, l2b, off)
+        g_total = 2 * dl
+        dv = d.reshape(re2.M, g_total // 2, 2, re2.R, d.shape[-1])
+        packed = re2.pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
+            re2.M * (g_total // 2) * re2.R, d.shape[-1])
+        xt_pk = re2.dif_forward_packed(packed, g_total // 2)
+        ev, od = re2.unpack_pairs(xt_pk)
+        b_ = d.shape[-1]
+        stride = g_total * re2.R
+        ev = ev.reshape(re2.L, g_total // 2, 1, re2.R, b_)
+        od = od.reshape(re2.L, g_total // 2, 1, re2.R, b_)
+        xt = jnp.concatenate([ev, od], axis=2).reshape(re2.L * stride, b_)
+        a0 = ((xt + 128) & 255) - 128
+        a1 = (xt - a0) >> 8
+        lhs = jnp.concatenate([
+            a0.reshape(re2.L, g_total, 1, re2.R, b_),
+            a1.reshape(re2.L, g_total, 1, re2.R, b_)], axis=2)
+        lhs = lhs.reshape(re2.L, 2 * stride, b_).astype(dt.mac_dtype())
+        lo, hi = re2._mac_dot(lhs, r, 2, dt.mac_dtype())
+        lo2 = lo.reshape(-1, b_)
+        hi2 = hi.reshape(-1, b_)
+        return (lo2[:2048] + lo2[2048:] + hi2[:2048] + hi2[2048:]
+                ).astype(jnp.int32)
+
+    def b_invonly(a, p, r):
+        o_r = 2 * re2.R
+        x = jnp.concatenate([a, a, a, a], axis=0)    # (8192, b) stand-in
+        folded = re2.dit_inverse(x, 2 * o_r)
+        v = folded.reshape(re2.M, 2, o_r, a.shape[-1])
+        delta = re2.normalize_dual(v[:, 0], v[:, 1])
+        return delta.reshape(2 * re2.N, a.shape[-1])
+
     print(f"sync overhead: {sync_overhead()*1000:.1f} ms")
     for nm, body in [("rotate", b_rot), ("rot+decomp", b_rotdec),
+                     ("dec+fwd(SWAR)", b_fwd), ("dec+fwd+mac", b_fwdmac),
+                     ("inverse only", b_invonly),
                      ("dec+fwd+mac+inv", b_mac), ("FULL step", b_full)]:
         f = make(body)
         t = timed_chain(f, acc)
