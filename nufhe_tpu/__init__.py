@@ -11,6 +11,39 @@ The export surface mirrors the reference's ``nufhe/__init__.py:18-59``.
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compilation_cache():
+    """Point JAX's persistent compilation cache at a per-user directory.
+
+    The fused bootstrap program costs minutes of XLA+Mosaic compile time at
+    large batch; caching it on disk makes every process after the first
+    start in seconds.  Opt out with NUFHE_TPU_NO_COMPILE_CACHE=1 or by
+    setting jax_compilation_cache_dir yourself before importing nufhe_tpu.
+    (Analogue of the reference's in-process computation cache,
+    ``nufhe/computation_cache.py``, extended across processes.)
+    """
+    import os
+    import tempfile
+
+    if os.environ.get("NUFHE_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.environ.get("NUFHE_TPU_COMPILE_CACHE_DIR") or os.path.join(
+        tempfile.gettempdir(), "nufhe_tpu_jaxcache_%d" % os.getuid())
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
+_enable_persistent_compilation_cache()
+
 from .api import (
     Context,
     VirtualMachine,
