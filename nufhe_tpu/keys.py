@@ -95,20 +95,28 @@ class TGswKey:
 class BootstrapKey:
     """n TGSW encryptions of the LWE key bits.
 
-    Stored in coefficient domain (``bk_coeff``:
-    (n, mask_size+1, decomp_length, mask_size+1, N) int32); the device
-    representation is derived lazily and cached.
-    Reference: ``nufhe/bootstrap.py:44-92``.
+    Carries the coefficient-domain samples (``bk_coeff``:
+    (n, mask_size+1, decomp_length, mask_size+1, N) int32, present after
+    keygen) and/or the compact TRANSFORMED form (``limbs``: two-sided
+    mod-2^38 radix-2^8 limb splits of the key transforms, int8
+    (n, G, O, L, R, KEY_LIMBS, 2)).  Serialization stores the transformed
+    form — the analogue of the reference storing
+    ``TransformedTGswSampleArray`` (``nufhe/tgsw.py:99-130``,
+    ``bootstrap.py:78-86``) — so a loaded cloud key is device-ready: the
+    only load-time work is a ~66 MB upload plus the on-device negacyclic
+    expansion.  The full (n, L, C, Q) MAC operand is derived lazily and
+    cached in HBM.  Reference: ``nufhe/bootstrap.py:44-92``.
     """
 
     def __init__(self, in_out_params: LweParams, bk_params: TGswParams,
-                 bk_coeff, cv):
+                 bk_coeff, cv, limbs=None):
         self.in_out_params = in_out_params
         self.bk_params = bk_params
         self.accum_params = bk_params.tlwe_params
         self.extract_params = self.accum_params.extracted_lweparams
         self.bk_coeff = bk_coeff
         self.cv = cv
+        self._limbs = limbs
         self._device = None
 
     @classmethod
@@ -134,30 +142,42 @@ class BootstrapKey:
 
         return cls(lwe_key.params, bk_params, a.astype(Torus32), cv)
 
+    def limbs(self):
+        """Compact transformed two-sided limb form (the serialized form)."""
+        if self._limbs is None:
+            from .ops import tgsw as dtgsw
+            self._limbs = dtgsw.bootstrap_key_limbs_host(self.bk_coeff)
+        return self._limbs
+
     def device(self):
         """The HBM-resident transformed/limb/expanded key for the MXU MAC."""
         if self._device is None:
             from .ops import tgsw as dtgsw
-            self._device = dtgsw.prepare_bootstrap_key_device(self.bk_coeff)
+            self._device = dtgsw.expand_bootstrap_key_device(self.limbs())
         return self._device
 
     def dump(self, file_obj):
         serialization.dump(
             file_obj,
-            {"kind": "BootstrapKey"},
-            {"bk_coeff": self.bk_coeff, "cv": self.cv})
+            {"kind": "BootstrapKey", "format": 2},
+            {"limbs": self.limbs(), "cv": self.cv})
 
     @classmethod
     def load(cls, file_obj, in_out_params, bk_params):
         meta, arrays = serialization.load(file_obj)
         assert meta["kind"] == "BootstrapKey"
+        if "limbs" in arrays:        # format 2: device-ready transformed key
+            return cls(in_out_params, bk_params, None, arrays["cv"],
+                       limbs=arrays["limbs"])
+        # format 1 (round-1 files): coefficient domain
         return cls(in_out_params, bk_params, arrays["bk_coeff"], arrays["cv"])
 
     def __eq__(self, other):
+        # the transformed limb form is the canonical operational content
         return (self.__class__ == other.__class__
                 and self.in_out_params == other.in_out_params
                 and self.bk_params == other.bk_params
-                and np.array_equal(self.bk_coeff, other.bk_coeff))
+                and np.array_equal(self.limbs(), other.limbs()))
 
 
 class LweKeyswitchKey:

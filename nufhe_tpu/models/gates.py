@@ -234,20 +234,24 @@ def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
     ca, cb, ccv = c_in
 
     perf = dict(use_pallas=use_pallas, lane_tile=lane_tile)
-    # u1 = bootstrap_no_ks((0,-1/8) + a + b)
-    u1 = dboot.bootstrap_device(
-        (aa + ba).astype(jnp.int32), (and_const + ab + bb).astype(jnp.int32),
-        bk_dev, ks_arrays, ks_meta, mu, tgsw_params, no_keyswitch=True,
-        **perf)
-    # u2 = bootstrap_no_ks((0,-1/8) - a + c)
-    u2 = dboot.bootstrap_device(
-        (ca - aa).astype(jnp.int32), (and_const - ab + cb).astype(jnp.int32),
-        bk_dev, ks_arrays, ks_meta, mu, tgsw_params, no_keyswitch=True,
-        **perf)
+    # The two keyswitch-free bootstraps — u1 = BS((0,-1/8) + a + b) and
+    # u2 = BS((0,-1/8) - a + c) — are batch-concatenated into ONE blind
+    # rotation over 2B lanes, so MUX keeps the per-lane pipeline efficiency
+    # of a binary gate (the reference runs them serially,
+    # nufhe/gates.py:638-655).
+    bsz = ab.shape[0]
+    lwe_a = jnp.concatenate(
+        [(aa + ba).astype(jnp.int32), (ca - aa).astype(jnp.int32)], axis=0)
+    lwe_b = jnp.concatenate(
+        [(and_const + ab + bb).astype(jnp.int32),
+         (and_const - ab + cb).astype(jnp.int32)], axis=0)
+    ex_a, ex_b, _ = dboot.bootstrap_device(
+        lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
+        no_keyswitch=True, **perf)
 
     # (0, 1/8) + u1 + u2 in the extracted space, then a single keyswitch
-    ta = (u1[0] + u2[0]).astype(jnp.int32)
-    tb = (mux_const + u1[1] + u2[1]).astype(jnp.int32)
+    ta = (ex_a[:bsz] + ex_a[bsz:]).astype(jnp.int32)
+    tb = (mux_const + ex_b[:bsz] + ex_b[bsz:]).astype(jnp.int32)
     return dlwe.lwe_keyswitch(ks_arrays, ks_meta, ta, tb)
 
 

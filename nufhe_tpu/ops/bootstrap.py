@@ -169,8 +169,16 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
                          lane_tile=lane_tile, slot_axis_name=slot_axis_name)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
-    if no_keyswitch:
-        cv = jnp.zeros(ex_b.shape, jnp.float32)
-        return ex_a, ex_b.astype(jnp.int32), cv
 
-    return dlwe.lwe_keyswitch(ks_arrays, ks_meta, ex_a, ex_b)
+    # Fresh-noise estimate through the blind rotation (CGGI16 bound;
+    # extraction is variance-preserving).  The reference leaves this
+    # unfilled (TODO at nufhe/blind_rotate.py:254).
+    from ..ref.bootstrap_ref import blind_rotate_variance
+    var_br = blind_rotate_variance(tgsw_params, lwe_a.shape[-1])
+    ex_cv = jnp.full(ex_b.shape, jnp.float32(var_br))
+
+    if no_keyswitch:
+        return ex_a, ex_b.astype(jnp.int32), ex_cv
+
+    return dlwe.lwe_keyswitch(ks_arrays, ks_meta, ex_a, ex_b,
+                              source_cv=ex_cv)

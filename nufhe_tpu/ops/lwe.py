@@ -125,11 +125,15 @@ def keyswitch_digits(source_a, decomp_length: int, log2_base: int):
     return (shifted >> shifts) & jnp.int32(2**log2_base - 1)
 
 
-def lwe_keyswitch(ks_arrays, ks_meta: KeyswitchMeta, source_a, source_b):
+def lwe_keyswitch(ks_arrays, ks_meta: KeyswitchMeta, source_a, source_b,
+                  source_cv=None):
     """result = (0, b) - sum_{l,j} KS[l, j, digit_{l,j}] via exact matmuls.
 
     :param ks_arrays, ks_meta: output of ``prepare_keyswitch_device``.
     :param source_a: (batch..., input_size) i32; ``source_b``: (batch...,).
+    :param source_cv: optional (batch...,) input variances, added to the
+        keyswitch noise (the reference drops them, ``nufhe/lwe.py:319``;
+        keeping them makes cv a usable noise-budget signal).
     :returns: (a, b, cv) in the output LWE space.
     """
     base = ks_meta.base
@@ -156,6 +160,10 @@ def lwe_keyswitch(ks_arrays, ks_meta: KeyswitchMeta, source_a, source_b):
     result_a = (-total[:, :out_size]).reshape(batch_shape + (out_size,))
     result_b = (source_b.reshape(-1) - total[:, out_size]).astype(jnp.int32)
     result_cv = jnp.sum(cv_total, axis=-1, dtype=ErrorFloat)
+    result_cv = result_cv.reshape(batch_shape)
+    if source_cv is not None:
+        result_cv = (result_cv + source_cv.astype(ErrorFloat)
+                     ).astype(ErrorFloat)
     return (result_a.astype(jnp.int32),
             result_b.reshape(batch_shape),
-            result_cv.reshape(batch_shape))
+            result_cv)

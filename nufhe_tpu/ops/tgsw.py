@@ -42,21 +42,31 @@ def bootstrap_key_limbs_host(bk_coeff):
         n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS, 2)
 
 
-def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50):
-    """Full host->device preparation of the bootstrap key for the MXU MAC.
+def expand_bootstrap_key_device(limbs, chunk: int = 50):
+    """Compact transformed limbs -> the HBM-resident MAC operand.
 
-    :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32
-        numpy array (coefficient-domain TGSW bootstrap key).
+    :param limbs: (n, G, O, L, R, KEY_LIMBS, 2) int8 (host or device).
     :returns: (n, L, C, Q) int8 device array — per-row MAC rhs with the
         negacyclic signs baked in (direct int8 MXU operand), C = G*2R,
         Q = 6*O*R (5 live shift groups + 1 true-zero pad group).
     """
-    limbs = bootstrap_key_limbs_host(bk_coeff)
     build = jax.jit(dt.build_mac_rhs)
     parts = [build(jnp.asarray(limbs[i:i + chunk]))
              for i in range(0, limbs.shape[0], chunk)]
     out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return jax.block_until_ready(out)
+
+
+def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50):
+    """Full host->device preparation of the bootstrap key for the MXU MAC
+    (host transform + limb split, then on-device expansion).
+
+    :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32
+        numpy array (coefficient-domain TGSW bootstrap key).
+    :returns: see :func:`expand_bootstrap_key_device`.
+    """
+    return expand_bootstrap_key_device(
+        bootstrap_key_limbs_host(bk_coeff), chunk=chunk)
 
 
 def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,

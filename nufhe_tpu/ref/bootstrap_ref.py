@@ -60,12 +60,36 @@ def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
     accum = blind_rotate(accum, bk_coeff, bara, params)
 
     ex_a, ex_b = tlwe_ref.tlwe_extract_lwe_samples(accum)
-    ex_cv = np.zeros(ex_b.shape, np.float32)
+    ex_cv = np.full(ex_b.shape, blind_rotate_variance(params, lwe_a.shape[-1]),
+                    np.float32)
 
     if no_keyswitch:
         return ex_a, ex_b, ex_cv
 
     ks_a, ks_b, ks_cv = ks
     decomp_length, log2_base = ks_params
-    return lwe_ref.lwe_keyswitch(ks_a, ks_b, ks_cv, ex_a, ex_b,
-                                 decomp_length, log2_base)
+    out_a, out_b, out_cv = lwe_ref.lwe_keyswitch(
+        ks_a, ks_b, ks_cv, ex_a, ex_b, decomp_length, log2_base)
+    return out_a, out_b, (out_cv + ex_cv).astype(np.float32)
+
+
+def blind_rotate_variance(params, n_steps: int) -> float:
+    """Fresh-noise variance estimate through the n-step blind rotation
+    (CGGI16 bound; sample extraction preserves variance):
+
+        n * ( (k+1) * l * N * (B/2)^2 * Var(bk)
+              + (k*N + 1) * 2^(-2*l*log2B) / 4 )
+
+    The reference leaves the bootstrap output variances unfilled (TODO at
+    ``nufhe/blind_rotate.py:254``); this estimate makes ``cv`` a usable
+    noise-budget signal through gates.
+    """
+    tlwe_params = params.tlwe_params
+    k = tlwe_params.mask_size
+    n_poly = tlwe_params.polynomial_degree
+    l = params.decomp_length
+    log2b = params.bs_log2_base
+    bk_var = float(tlwe_params.min_noise) ** 2
+    return n_steps * (
+        (k + 1) * l * n_poly * (2 ** (log2b - 1)) ** 2 * bk_var
+        + (k * n_poly + 1) * 2.0 ** (-2 * l * log2b) / 4)

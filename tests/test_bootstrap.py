@@ -108,3 +108,27 @@ def test_bootstrap_key_is_valid_tgsw(small_keys):
             diff = int(phase[0]) - expected_msg
             diff = (diff + 2**31) % 2**32 - 2**31
             assert abs(diff) < 2**22, (i, d, diff)
+
+
+def test_bootstrap_variance_estimate_sane(small_keys):
+    """The filled bootstrap output variance (the reference's TODO) must be
+    positive and keep the noise comfortably inside the decryption margin at
+    the full 500-step parameter set."""
+    params, secret, cloud, rng = small_keys
+    full = NuFHEParameters()
+    var = bootstrap_ref.blind_rotate_variance(full.tgsw_params, 500)
+    assert var > 0
+    # decryption needs |noise| < 1/16 (mu = 1/8); demand >= 4 sigma margin
+    assert np.sqrt(var) < (1.0 / 16) / 4
+    # and the device path reports it through the keyswitch
+    B = 2
+    lwe_a = rng.uniform_torus32((B, LWE_SIZE))
+    lwe_b = rng.uniform_torus32((B,))
+    arrays, meta = cloud.keyswitch_key.device()
+    _, _, cv = dboot.bootstrap_device(
+        jnp.asarray(lwe_a), jnp.asarray(lwe_b),
+        cloud.bootstrap_key.device(), arrays, meta,
+        int(phase_to_t32(1, 8)), params.tgsw_params)
+    small_var = bootstrap_ref.blind_rotate_variance(
+        params.tgsw_params, LWE_SIZE)
+    assert np.all(np.asarray(cv) >= small_var)
