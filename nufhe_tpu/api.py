@@ -126,11 +126,32 @@ class Context:
         if rng is None:
             rng = DeterministicRNG()
         if device_id is None:
-            device_id = find_devices(api=api, **{
-                k: v for k, v in filters.items() if v is not None})[0]
+            candidates = find_devices(api=api, **{
+                k: v for k, v in filters.items() if v is not None})
+            if interactive and len(candidates) > 1:
+                device_id = self._ask_device(candidates)
+            else:
+                device_id = candidates[0]
         self.rng = rng
         self.device_id = device_id
         self.device = device_id.get_device()
+
+    @staticmethod
+    def _ask_device(candidates):
+        """Prompt on stdin for one of several matching devices.
+        Reference: ``nufhe/api_high_level.py:130-181``."""
+        print("Available devices:")
+        for i, dev in enumerate(candidates):
+            print("  [{}] {} ({})".format(i, dev.device_name, dev.api_name))
+        while True:
+            choice = input(
+                "Choose device [0-{}]: ".format(len(candidates) - 1)).strip()
+            try:
+                idx = int(choice)
+            except ValueError:
+                continue
+            if 0 <= idx < len(candidates):
+                return candidates[idx]
 
     def make_secret_key(self, **params):
         nufhe_params = NuFHEParameters(**params)

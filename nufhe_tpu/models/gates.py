@@ -80,10 +80,10 @@ def _broadcast_flat(ct, shape, lwe_size):
 
 @partial(jax.jit, static_argnames=(
     'mu', 'tgsw_params', 'ks_meta', 'no_keyswitch', 'use_pallas',
-    'lane_tile'))
+    'lane_tile', 'vmem_limit_mb'))
 def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
                       tgsw_params, ks_meta, no_keyswitch, use_pallas=None,
-                      lane_tile=None):
+                      lane_tile=None, vmem_limit_mb=None):
     """temp = (0, const) + sum_i coeffs[i] * inputs[i]; bootstrap(temp).
 
     ``const`` and ``coeffs`` are traced scalars, so all two-input gates share
@@ -100,14 +100,55 @@ def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
     return dboot.bootstrap_device(
         ta.astype(jnp.int32), tb.astype(jnp.int32), bk_dev, ks_arrays,
         ks_meta, mu, tgsw_params, no_keyswitch=no_keyswitch,
-        use_pallas=use_pallas, lane_tile=lane_tile)
+        use_pallas=use_pallas, lane_tile=lane_tile,
+        vmem_limit_mb=vmem_limit_mb)
 
 
 def _perf_kwargs(perf_params):
     if perf_params is None:
         return {}
     return dict(use_pallas=perf_params.single_kernel_bootstrap,
-                lane_tile=perf_params.batch_tile)
+                lane_tile=perf_params.batch_tile,
+                vmem_limit_mb=getattr(perf_params, 'vmem_limit_mb', None))
+
+
+def _looks_like_vmem_oom(exc) -> bool:
+    msg = str(exc)
+    return any(tag in msg for tag in (
+        'RESOURCE_EXHAUSTED', 'VMEM', 'vmem', 'Ran out of memory',
+        'exceeds the limit'))
+
+
+# successful lane tiles per (platform, batch): remembered so the shrink
+# search runs once per process (reference analogue: the shrinking
+# OutOfResourcesError loops in nufhe/blind_rotate.py:143-187)
+_WORKING_TILE = {}
+
+
+def _run_with_vmem_fallback(run, perf_params, batch):
+    """Call ``run(lane_tile)``, shrinking the lane tile on Mosaic/XLA
+    out-of-VMEM compile errors.  ``lane_tile=None`` means the VMEM-derived
+    auto choice (ops/bootstrap.lane_tile_for)."""
+    platform = getattr(perf_params, 'platform', None) if perf_params else None
+    key = (platform, batch)
+    first = None
+    if perf_params is not None and perf_params.batch_tile is not None:
+        first = perf_params.batch_tile
+    elif key in _WORKING_TILE:
+        first = _WORKING_TILE[key]
+    tiles = [first] + [t for t in (512, 256, 128)
+                       if first is None or t < first]
+    last_exc = None
+    for tile in tiles:
+        try:
+            out = run(tile)
+            _WORKING_TILE[key] = tile
+            return out
+        except Exception as exc:  # noqa: BLE001 - filtered below
+            if not _looks_like_vmem_oom(exc):
+                raise
+            last_exc = exc
+    raise last_exc
 
 
 def _bootstrap_gate(cloud_key, result, sources, const, coeffs,
@@ -119,12 +160,19 @@ def _bootstrap_gate(cloud_key, result, sources, const, coeffs,
         _broadcast_flat(src, shape, lwe_size) for src in sources)
 
     ks_arrays, ks_meta = cloud_key.keyswitch_key.device()
-    ra, rb, rcv = _linear_bootstrap(
-        inputs, jnp.int32(int(const)),
-        tuple(jnp.int32(int(c)) for c in coeffs),
-        cloud_key.bootstrap_key.device(), ks_arrays,
-        mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta,
-        no_keyswitch=no_keyswitch, **_perf_kwargs(perf_params))
+    perf_kw = _perf_kwargs(perf_params)
+
+    def run(tile):
+        kw = dict(perf_kw, lane_tile=tile)
+        return _linear_bootstrap(
+            inputs, jnp.int32(int(const)),
+            tuple(jnp.int32(int(c)) for c in coeffs),
+            cloud_key.bootstrap_key.device(), ks_arrays,
+            mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta,
+            no_keyswitch=no_keyswitch, **kw)
+
+    ra, rb, rcv = _run_with_vmem_fallback(
+        run, perf_params, inputs[0][1].shape[0])
 
     out_size = ra.shape[-1]
     result.a = ra.reshape(shape + (out_size,))
@@ -223,9 +271,11 @@ def gate_constant(cloud_key, result, vals, perf_params=None):
 # --- MUX ---
 
 @partial(jax.jit, static_argnames=('mu', 'tgsw_params', 'ks_meta',
-                                   'use_pallas', 'lane_tile'))
+                                   'use_pallas', 'lane_tile',
+                                   'vmem_limit_mb'))
 def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
-                ks_meta, use_pallas=None, lane_tile=None):
+                ks_meta, use_pallas=None, lane_tile=None,
+                vmem_limit_mb=None):
     and_const = jnp.int32(phase_to_t32(-1, 8))
     mux_const = jnp.int32(phase_to_t32(1, 8))
 
@@ -233,7 +283,8 @@ def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
     ba, bb, bcv = b_in
     ca, cb, ccv = c_in
 
-    perf = dict(use_pallas=use_pallas, lane_tile=lane_tile)
+    perf = dict(use_pallas=use_pallas, lane_tile=lane_tile,
+                vmem_limit_mb=vmem_limit_mb)
     # The two keyswitch-free bootstraps — u1 = BS((0,-1/8) + a + b) and
     # u2 = BS((0,-1/8) - a + c) — are batch-concatenated into ONE blind
     # rotation over 2B lanes, so MUX keeps the per-lane pipeline efficiency
@@ -267,10 +318,16 @@ def gate_mux(cloud_key, result, a, b, c, perf_params=None):
     inputs = tuple(
         _broadcast_flat(src, shape, lwe_size) for src in (a, b, c))
     ks_arrays, ks_meta = cloud_key.keyswitch_key.device()
-    ra, rb, rcv = _mux_kernel(
-        *inputs, cloud_key.bootstrap_key.device(), ks_arrays,
-        mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta,
-        **_perf_kwargs(perf_params))
+    perf_kw = _perf_kwargs(perf_params)
+
+    def run(tile):
+        kw = dict(perf_kw, lane_tile=tile)
+        return _mux_kernel(
+            *inputs, cloud_key.bootstrap_key.device(), ks_arrays,
+            mu=_MU, tgsw_params=params.tgsw_params, ks_meta=ks_meta, **kw)
+
+    ra, rb, rcv = _run_with_vmem_fallback(
+        run, perf_params, inputs[0][1].shape[0])
 
     out_size = ra.shape[-1]
     result.a = ra.reshape(shape + (out_size,))

@@ -28,8 +28,24 @@ def t32_to_phase(phase, mspace_size: int):
     return ((phase_u + half) // interv).astype(jnp.int32)
 
 
+# measured peak scoped-VMEM of the fused step kernel per batch lane
+# (v5e, mask_size=1: ~75 MB at 1024 lanes)
+_VMEM_KB_PER_LANE = 75.0
+
+
+def lane_tile_for(batch: int, vmem_limit_mb: int) -> int:
+    """Largest 128-multiple lane tile whose step-kernel working set fits
+    the scoped-VMEM budget (device-resolved; see performance.py)."""
+    for tile in (1024, 512, 256, 128):
+        if tile <= max(batch, 128) and \
+                tile * _VMEM_KB_PER_LANE / 1024.0 <= vmem_limit_mb:
+            return tile
+    return 128
+
+
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
-                 use_pallas=None, lane_tile=None, slot_axis_name=None):
+                 use_pallas=None, lane_tile=None, slot_axis_name=None,
+                 vmem_limit_mb=None):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     On TPU (and without tensor parallelism) each CMUX step runs as one
@@ -92,11 +108,10 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         acc = accum_a.reshape((-1, mask1, fe.N))
         bara2 = bara.reshape((-1, n))
         bsz = acc.shape[0]
+        if vmem_limit_mb is None:
+            vmem_limit_mb = 120
         if lane_tile is None:
-            # largest tile fitting the 128 MB VMEM (measured: 1024 lanes
-            # ~ 75 MB peak; 2048 exceeds capacity)
-            lane_tile = 1024 if bsz >= 1024 else (
-                512 if bsz >= 512 else 128)
+            lane_tile = lane_tile_for(bsz, vmem_limit_mb)
         pad = (-bsz) % lane_tile
         if pad:
             acc = jnp.concatenate(
@@ -113,7 +128,7 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         # default.)
         step = pbr.make_external_step_rows(
             mask1, decomp_length, log2_base, offset, lane_tile=lane_tile,
-            mac_dtype=dt.mac_dtype())
+            mac_dtype=dt.mac_dtype(), vmem_limit_mb=vmem_limit_mb)
 
         def body(i, a):
             powers = jax.lax.dynamic_index_in_dim(
@@ -143,7 +158,7 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
 
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
                      no_keyswitch=False, axis_name=None, use_pallas=None,
-                     lane_tile=None, slot_axis_name=None):
+                     lane_tile=None, slot_axis_name=None, vmem_limit_mb=None):
     """Full gate bootstrap on device.
 
     result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
@@ -166,7 +181,8 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     accum, _ = dtlwe.tlwe_noiseless_trivial(testvectbis, mask_size)
     accum = blind_rotate(accum, bk_dev, bara, tgsw_params,
                          axis_name=axis_name, use_pallas=use_pallas,
-                         lane_tile=lane_tile, slot_axis_name=slot_axis_name)
+                         lane_tile=lane_tile, slot_axis_name=slot_axis_name,
+                         vmem_limit_mb=vmem_limit_mb)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
 

@@ -1,41 +1,85 @@
 """Performance configuration.
 
 The reference's ``PerformanceParameters`` (``nufhe/performance.py``) tunes
-CUDA kernel shapes (transforms per block, constant memory, PTX variants).
-The TPU equivalents are different knobs: whether the fused Pallas bootstrap
-kernel is used instead of the XLA-composed path, the batch tile processed
-per kernel instance, and the MAC matmul dtype.  As in the reference, a
-device-independent ``PerformanceParameters`` is specialized with
-``for_device()`` into a ``PerformanceParametersForDevice``.
+CUDA kernel shapes (transforms per block, constant memory, PTX variants),
+resolving unset knobs from device introspection
+(``performance.py:137-230``).  The TPU equivalents are different knobs:
+whether the fused Pallas bootstrap kernel is used instead of the
+XLA-composed path, the ciphertext lane tile processed per kernel instance,
+and the scoped-VMEM budget handed to the Mosaic compiler.  As in the
+reference, a device-independent ``PerformanceParameters`` is specialized
+with ``for_device()`` into a ``PerformanceParametersForDevice``:
+
+- ``vmem_mb`` comes from an explicit override (``NUFHE_TPU_VMEM_MB``), a
+  device-kind table, or the conservative default;
+- the lane tile is then derived from the VMEM budget at call time
+  (``ops/bootstrap.lane_tile_for``), so v2/v3-class cores (16 MB VMEM)
+  automatically run small tiles while v4/v5/v6-class cores (128 MB) run
+  1024-lane tiles;
+- if the Mosaic compiler still reports an out-of-VMEM condition at
+  compile time, the gate layer shrinks the tile and retries
+  (``models/gates._run_with_vmem_fallback`` — the analogue of the
+  reference's ``OutOfResourcesError`` loops, ``blind_rotate.py:143-187``).
 """
+
+import os
+
+# scoped-VMEM capacity per core by device kind (MB).  TPU v4 and later
+# expose 128 MB to Mosaic; v2/v3 cores have 16 MB.
+_VMEM_MB_BY_KIND = (
+    ("v2", 16),
+    ("v3", 16),
+    ("v4", 128),
+    ("v5", 128),       # v5e ("v5 lite") and v5p
+    ("v6", 128),
+    ("lite", 128),
+)
+_DEFAULT_TPU_VMEM_MB = 128
+_VMEM_HEADROOM_MB = 8   # leave room for Mosaic-internal buffers
+
+
+def _resolve_vmem_mb(device) -> int:
+    env = os.environ.get("NUFHE_TPU_VMEM_MB")
+    if env:
+        return int(env)
+    kind = getattr(device, "device_kind", "").lower()
+    for tag, mb in _VMEM_MB_BY_KIND:
+        if tag in kind:
+            return mb
+    return _DEFAULT_TPU_VMEM_MB
 
 
 class PerformanceParameters:
 
     def __init__(self, nufhe_params=None,
                  single_kernel_bootstrap=None,
-                 batch_tile=None):
+                 batch_tile=None,
+                 vmem_mb=None):
         """
         :param single_kernel_bootstrap: use the fused Pallas blind-rotate
             kernel (``None`` = auto: enabled on TPU when supported).
         :param batch_tile: ciphertext batch tile per kernel instance
-            (``None`` = auto).
+            (``None`` = auto from the device's VMEM capacity).
+        :param vmem_mb: scoped-VMEM capacity override in MB (``None`` =
+            resolve from the device kind).
         """
         self.nufhe_params = nufhe_params
         self.single_kernel_bootstrap = single_kernel_bootstrap
         self.batch_tile = batch_tile
+        self.vmem_mb = vmem_mb
 
     def for_device(self, device=None):
         return PerformanceParametersForDevice(self, device)
 
     def __hash__(self):
         return hash((self.__class__, self.single_kernel_bootstrap,
-                     self.batch_tile))
+                     self.batch_tile, self.vmem_mb))
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
                 and self.single_kernel_bootstrap == other.single_kernel_bootstrap
-                and self.batch_tile == other.batch_tile)
+                and self.batch_tile == other.batch_tile
+                and self.vmem_mb == other.vmem_mb)
 
 
 class PerformanceParametersForDevice:
@@ -53,13 +97,19 @@ class PerformanceParametersForDevice:
         self.single_kernel_bootstrap = skb
         self.batch_tile = perf_params.batch_tile
         self.platform = platform
+        self.device_kind = getattr(device, "device_kind", "")
+        vmem = perf_params.vmem_mb
+        if vmem is None:
+            vmem = _resolve_vmem_mb(device) if on_tpu else _DEFAULT_TPU_VMEM_MB
+        self.vmem_limit_mb = max(8, vmem - _VMEM_HEADROOM_MB)
 
     def __hash__(self):
         return hash((self.__class__, self.single_kernel_bootstrap,
-                     self.batch_tile, self.platform))
+                     self.batch_tile, self.platform, self.vmem_limit_mb))
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
                 and self.single_kernel_bootstrap == other.single_kernel_bootstrap
                 and self.batch_tile == other.batch_tile
-                and self.platform == other.platform)
+                and self.platform == other.platform
+                and self.vmem_limit_mb == other.vmem_limit_mb)
