@@ -97,6 +97,17 @@ def main():
     got = nf.decrypt(secret, r)
     ok = bool(np.array_equal(got, expect))
 
+    # noise margin: max |phase - (+-mu)| across the batch as a fraction of
+    # the torus; decryption fails at 1/16 (mu = 1/8), so this is the
+    # regression canary for noise-analysis bugs
+    from nufhe_tpu.ref import lwe_ref
+    from nufhe_tpu.models.gates import _MU
+    phase = np.asarray(lwe_ref.lwe_decrypt_phase(
+        np.asarray(r.a), np.asarray(r.b), secret.lwe_key.key))
+    noise = np.where(phase > 0, phase - np.int32(_MU),
+                     phase + np.int32(_MU)).astype(np.int64)
+    max_noise_frac = float(np.abs(noise).max() / 2.0**32)
+
     best = min(times)
     ms_per_bit = best / batch * 1000.0
 
@@ -120,6 +131,8 @@ def main():
             "key_prep_s": round(key_prep_t, 2),
             "sync_overhead_s": round(sync_t, 4),
             "correct": ok,
+            "max_noise_frac": round(max_noise_frac, 6),
+            "noise_margin_frac": 1.0 / 16,
         }}), file=sys.stderr)
 
 

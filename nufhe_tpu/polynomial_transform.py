@@ -98,6 +98,47 @@ _TRANSFORMS = {
 }
 
 
+# --- device-side transformed-domain operations -----------------------------
+#
+# Parity note vs the reference's per-backend device ops
+# (``nufhe/polynomial_transform_ntt.py:29-131``): the reference exposes
+# forward/inverse transforms and transformed add/mul as GPU computations.
+# The exact Z/2^32 engine exposes the same *capability* with one structural
+# difference: 1/64 (the DFT length) is not invertible mod 2^32, so a
+# standalone general inverse does not exist — exact products are recovered
+# through the engine's dual-channel mod-2^38 pipeline instead.  Every
+# multiplication the scheme (and the reference) actually performs has one
+# small-coefficient operand (key bits, gadget digits), which
+# ``transformed_mul_device``/``negacyclic_mul_device`` cover exactly.
+
+def forward_device(x):
+    """Device forward transform, (..., N) int32 -> (..., L, R) int32.
+
+    Exact mod 2^32 for arbitrary Torus32 polynomials (the DFT is
+    add/sub/shift only; int32 wraparound IS the target ring).  For
+    small-coefficient inputs (|x| <= 2^25) the values are additionally
+    exact as integers, which is what the MAC limb path relies on.
+    """
+    from .ops import transform as dt
+    return dt.forward_i32(x)
+
+
+def transformed_add_device(ahat, bhat):
+    """Pointwise add in the transform domain (exact mod 2^32)."""
+    return (ahat + bhat).astype(ahat.dtype)
+
+
+def transformed_mul_device(ahat_small, b_coeff):
+    """Exact negacyclic product where one operand has small coefficients.
+
+    See ``ops.transform.negacyclic_mul_device`` — this is the engine's
+    product path (small side transformed on device, arbitrary side carried
+    mod 2^38); provided here for facade parity.
+    """
+    from .ops import transform as dt
+    return dt.negacyclic_mul_device(ahat_small, b_coeff)
+
+
 def get_transform(transform_type):
     """Reference: ``nufhe/polynomial_transform.py:26-30``."""
     if transform_type not in _TRANSFORMS:

@@ -182,3 +182,43 @@ def test_gate_nand_speed():
     print(f"\nNAND: {speed*1000:.5f} ms/bit "
           f"(sizes {sizes}: {[round(results[s], 3) for s in sizes]} s)")
     assert speed > 0
+
+
+def test_full_parameter_nand_mux_on_tpu():
+    """Full 128-bit-security parameter set (500-step ladder) end-to-end.
+
+    Runs in the DEFAULT suite whenever the test platform is a real
+    accelerator (seconds there); on the CPU backend the 500-step ladder
+    takes minutes, so it stays behind --heavy (see test_heavy_gates).
+    Noise accumulation over the full ladder is exactly what the reduced
+    lwe_size tests cannot see.  Reference: test/test_gates.py:40-85.
+    """
+    import jax
+    from nufhe_tpu.ref import lwe_ref
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("full-parameter run on CPU is covered by --heavy")
+
+    rng = nf.DeterministicRNG(123)
+    secret, cloud = nf.make_key_pair(rng)      # full default parameters
+    vm = nf.VirtualMachine(cloud)
+    B = 256
+    a = np.random.RandomState(10).randint(0, 2, B).astype(bool)
+    b = np.random.RandomState(11).randint(0, 2, B).astype(bool)
+    s = np.random.RandomState(12).randint(0, 2, B).astype(bool)
+    ca, cb, cs = (nf.encrypt(rng, secret, x) for x in (a, b, s))
+
+    r_nand = vm.gate_nand(ca, cb)
+    assert np.array_equal(nf.decrypt(secret, r_nand), ~(a & b))
+    r_mux = vm.gate_mux(cs, ca, cb)
+    assert np.array_equal(nf.decrypt(secret, r_mux), np.where(s, a, b))
+
+    # noise-margin assertion: max |phase - (+-mu)| far below the 1/16
+    # decryption boundary (mu = 1/8; sign decides the bit)
+    for r in (r_nand, r_mux):
+        phase = np.asarray(lwe_ref.lwe_decrypt_phase(
+            np.asarray(r.a), np.asarray(r.b), secret.lwe_key.key))
+        mu = np.int32(nf.models.gates._MU)
+        noise = np.where(phase > 0, phase - mu, phase + mu).astype(np.int64)
+        max_frac = np.abs(noise).max() / 2.0**32
+        assert max_frac < (1.0 / 16) / 2, max_frac

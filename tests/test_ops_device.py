@@ -156,3 +156,31 @@ def test_t32_to_phase(rng):
     got = np.asarray(dboot.t32_to_phase(jnp.asarray(x), 2048))
     assert np.array_equal(got, want)
     assert got.min() >= 0 and got.max() < 2048
+
+
+def test_polynomial_transform_device_facade(rng):
+    """Device transformed-domain ops (facade parity with the reference's
+    per-backend device API, nufhe/polynomial_transform_ntt.py:29-131):
+    forward exact mod 2^32 on arbitrary Torus32 input, pointwise add,
+    and the small-x-any exact product."""
+    from nufhe_tpu import polynomial_transform as pt
+    from nufhe_tpu.ref import transform_ref as tr
+
+    a = rng.randint(-2**31, 2**31, (3, 1024)).astype(np.int32)
+    b = rng.randint(-2**31, 2**31, (3, 1024)).astype(np.int32)
+
+    got = np.asarray(pt.forward_device(jnp.asarray(a)))
+    want = (tr.forward(a) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    assert np.array_equal(got.astype(np.uint32), want)
+
+    s = np.asarray(pt.transformed_add_device(
+        jnp.asarray(a[:, :64].reshape(3, 2, 32)),
+        jnp.asarray(b[:, :64].reshape(3, 2, 32))))
+    assert np.array_equal(s, (a[:, :64] + b[:, :64]).reshape(3, 2, 32))
+
+    small = rng.randint(-512, 512, (2, 1024)).astype(np.int32)
+    prod = np.asarray(pt.transformed_mul_device(
+        jnp.asarray(small), b[:2]))
+    want_prod = np.stack([
+        tr.schoolbook_negacyclic(small[i], b[i]) for i in range(2)])
+    assert np.array_equal(prod, want_prod)
