@@ -42,8 +42,7 @@ L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT
 _LO_BITS = 19
-SHIFT_GROUPS_PAD = 6     # MAC output shift groups padded 5 -> 6 (Q = 384,
-                         # a lane-tile multiple; group 5 is zeros)
+SHIFT_GROUPS_PAD = 5     # MAC output shift groups (all live; Q = 320)
 
 
 def _lane(x):
@@ -220,7 +219,7 @@ def external_mul_flat(sample_q, rhs_row, *, mask1, decomp_length, log2_base,
     Pallas kernel (except ``axis_name``, XLA-only).
 
     :param sample_q: (rows, mask1*1024) int32, q-layout TLWE sample.
-    :param rhs_row: (L, C_local, Q) int8, C = G_local*2R, Q = 6*mask1*R,
+    :param rhs_row: (L, C_local, Q) int8, C = G_local*2R, Q = 5*mask1*R,
         slot-ordered (bitrev) L axis; from ``transform.build_mac_rhs``.
     :param axis_name: tensor-parallel mesh axis: the local rhs holds a
         contiguous g-block slice; each shard transforms only its digit

@@ -217,19 +217,37 @@ def dif_forward_packed(dig_pk, n_pk):
         [_pk_rot_block(v[m].reshape(-1, b), m).reshape(1, stride, b)
          for m in range(M)], axis=0).reshape(M * stride, b)
     x = jnp.concatenate([dig_pk, hi0], axis=0)
-    for h in (16, 8, 4, 2, 1):
-        step = L // (2 * h)
-        v = x.reshape(-1, 2, h, stride, b)
-        lo = v[:, 0]
-        hi = v[:, 1]
-        diff = _pk_sub(lo, hi)
-        if h > 1:
-            tw = jnp.concatenate(
-                [_pk_rot_block(diff[:, m].reshape(-1, b), step * m)
-                 .reshape(-1, 1, stride, b) for m in range(h)], axis=1)
-        else:
-            tw = diff
-        x = jnp.stack([_pk_add(lo, hi), tw], axis=1).reshape(-1, b)
+    # radix-4 merged DIF stage pairs (h, h/2): per group of 2h slices
+    # [x0 x1 x2 x3] (quarters of h/2), with step1 = L/(2h), step2 = 2*step1:
+    #   s0 = x0+x2, s1 = x1+x3,
+    #   d0 = Y^(step1 j)(x0-x2), d1 = Y^(step1 (j+h/2))(x1-x3)
+    #   z = [s0+s1, Y^(step2 j)(s0-s1), d0+d1, Y^(step2 j)(d0-d1)]
+    for h in (16, 4):
+        step1 = L // (2 * h)
+        hh = h // 2
+        v = x.reshape(-1, 4, hh, stride, b)
+        zs = []
+        for j in range(hh):
+            x0 = v[:, 0, j].reshape(-1, b)
+            x1 = v[:, 1, j].reshape(-1, b)
+            x2 = v[:, 2, j].reshape(-1, b)
+            x3 = v[:, 3, j].reshape(-1, b)
+            s0 = _pk_add(x0, x2)
+            s1 = _pk_add(x1, x3)
+            d0 = _pk_rot_block(_pk_sub(x0, x2), step1 * j)
+            d1 = _pk_rot_block(_pk_sub(x1, x3), step1 * (j + hh))
+            zs.append(jnp.concatenate(
+                [z.reshape(-1, 1, 1, stride, b)
+                 for z in (_pk_add(s0, s1),
+                           _pk_rot_block(_pk_sub(s0, s1), 2 * step1 * j),
+                           _pk_add(d0, d1),
+                           _pk_rot_block(_pk_sub(d0, d1), 2 * step1 * j))],
+                axis=1))
+        x = (jnp.concatenate(zs, axis=2) if hh > 1 else zs[0]).reshape(-1, b)
+    # final stage h = 1
+    v = x.reshape(-1, 2, stride, b)
+    x = jnp.stack([_pk_add(v[:, 0], v[:, 1]),
+                   _pk_sub(v[:, 0], v[:, 1])], axis=1).reshape(-1, b)
     return x
 
 
@@ -299,19 +317,44 @@ def dit_inverse(x, stride):
     on half-size data instead of a full stage plus a fold pass.
     """
     nrows, b = x.shape
-    for s in range(LOG_L - 1):
-        mmax = 1 << s
-        step = -(1 << (LOG_L - s - 1))
-        v = x.reshape(-1, 2, mmax, stride, b)
-        lo = v[:, 0]
-        hi = v[:, 1]
-        if mmax == 1:
-            tw = hi
-        else:
-            tw = jnp.concatenate(
-                [rot_block(hi[:, m].reshape(-1, b), step * m)
-                 .reshape(-1, 1, stride, b) for m in range(mmax)], axis=1)
-        x = jnp.stack([lo + tw, lo - tw], axis=1).reshape(nrows, b)
+    # radix-4 merged stage pairs (s, s+1): each pair materializes the
+    # array once instead of twice.  DIT pair identities (m = 2^s,
+    # c1 = -2^(5-s), c2 = c1/2; T = Y^(c1 j), U_j = Y^(c2 j)):
+    #   y0 = x0 + T x1, y1 = x0 - T x1, y2 = x2 + T x3, y3 = x2 - T x3
+    #   z = [y0 + U_j y2, y1 + U_{j+m} y3, y0 - U_j y2, y1 - U_{j+m} y3]
+    for s in (0, 2):
+        m4 = 1 << s
+        c1 = -(1 << (LOG_L - s - 1))
+        c2 = c1 // 2
+        v = x.reshape(-1, 4, m4, stride, b)
+        zs = []
+        for j in range(m4):
+            x0 = v[:, 0, j].reshape(-1, b)
+            x1 = v[:, 1, j].reshape(-1, b)
+            x2 = v[:, 2, j].reshape(-1, b)
+            x3 = v[:, 3, j].reshape(-1, b)
+            t1 = rot_block(x1, c1 * j) if (c1 * j) % (2 * R) else x1
+            t3 = rot_block(x3, c1 * j) if (c1 * j) % (2 * R) else x3
+            y0 = x0 + t1
+            y1 = x0 - t1
+            u2 = rot_block(x2 + t3, c2 * j)
+            u3 = rot_block(x2 - t3, c2 * (j + m4))
+            zs.append(jnp.concatenate(
+                [z.reshape(-1, 1, 1, stride, b)
+                 for z in (y0 + u2, y1 + u3, y0 - u2, y1 - u3)], axis=1))
+        x = (jnp.concatenate(zs, axis=2) if m4 > 1 else zs[0]).reshape(
+            nrows, b)
+    # stage 4 (mmax = 16), radix-2
+    mmax = 16
+    step = -(1 << (LOG_L - 4 - 1))
+    v = x.reshape(-1, 2, mmax, stride, b)
+    lo = v[:, 0]
+    hi = v[:, 1]
+    tw = jnp.concatenate(
+        [rot_block(hi[:, m].reshape(-1, b), step * m)
+         .reshape(-1, 1, stride, b) for m in range(mmax)], axis=1)
+    x = jnp.stack([lo + tw, lo - tw], axis=1).reshape(nrows, b)
+    # final stage (mmax = M) fused with the fold
     half = M * stride
     lo = x[:half]
     hi2 = x[half:].reshape(M, stride, b)
@@ -357,25 +400,38 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
 
     if swar and g_total % 2 == 0:
         # SWAR: forward-transform polynomial pairs packed two-per-word
-        # (adjacent g's pair up: (2k, 2k+1) -> low/high 16-bit fields)
-        dv = digits.reshape(M, g_total // 2, 2, R, b)
+        # (adjacent g's pair up: (2k, 2k+1) -> low/high 16-bit fields),
+        # then split MAC limbs directly on the packed words:
+        # with biased field f = v + 2^14 (f <= 2^15, so f + 128 stays
+        # inside its 16-bit field), the balanced radix-2^8 limbs are
+        #   a0 = ((f + 128) & 255) - 128        (2^14 = 0 mod 256)
+        #   a1 = ((f + 128) >> 8) - 64
+        # i.e. one packed add yields both limb bytes of both fields.
+        n_pk = g_total // 2
+        dv = digits.reshape(M, n_pk, 2, R, b)
         packed = pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
-            M * (g_total // 2) * R, b)
-        xt_pk = dif_forward_packed(packed, g_total // 2)
-        ev, od = unpack_pairs(xt_pk)
-        ev = ev.reshape(L, g_total // 2, 1, R, b)
-        od = od.reshape(L, g_total // 2, 1, R, b)
-        xt = jnp.concatenate([ev, od], axis=2).reshape(L * stride, b)
+            M * n_pk * R, b)
+        xt_pk = dif_forward_packed(packed, n_pk)
+        u = xt_pk + jnp.int32(0x00800080)
+        sh = (L, n_pk, 1, 1, R, b)
+        ev_a0 = ((u & 0xFF) - jnp.int32(128)).reshape(sh)
+        od_a0 = (((u >> 16) & 0xFF) - jnp.int32(128)).reshape(sh)
+        ev_a1 = (((u >> 8) & 0xFF) - jnp.int32(64)).reshape(sh)
+        od_a1 = ((u >> 24) - jnp.int32(64)).reshape(sh)
+        # lhs C-order (g = (pair, field), limb, u-lane): metadata interleave
+        lhs = jnp.concatenate([
+            jnp.concatenate([ev_a0, ev_a1], axis=3),
+            jnp.concatenate([od_a0, od_a1], axis=3)], axis=2)
+        lhs = lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
     else:
         xt = dif_forward(digits, g_total)    # (L*stride, b)
-
-    a0 = ((xt + 128) & 255) - 128
-    a1 = (xt - a0) >> 8
-    # lhs C-order (g, limb, u) matching build_mac_rhs: metadata interleave
-    lhs = jnp.concatenate([
-        a0.reshape(L, g_total, 1, R, b),
-        a1.reshape(L, g_total, 1, R, b)], axis=2)
-    lhs = lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
+        a0 = ((xt + 128) & 255) - 128
+        a1 = (xt - a0) >> 8
+        # lhs C-order (g, limb, u) matching build_mac_rhs
+        lhs = jnp.concatenate([
+            a0.reshape(L, g_total, 1, R, b),
+            a1.reshape(L, g_total, 1, R, b)], axis=2)
+        lhs = lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
 
     if slot_axis_name is not None:
         l_local = rhs.shape[0]

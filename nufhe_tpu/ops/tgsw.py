@@ -48,7 +48,7 @@ def expand_bootstrap_key_device(limbs, chunk: int = 50):
     :param limbs: (n, G, O, L, R, KEY_LIMBS, 2) int8 (host or device).
     :returns: (n, L, C, Q) int8 device array — per-row MAC rhs with the
         negacyclic signs baked in (direct int8 MXU operand), C = G*2R,
-        Q = 6*O*R (5 live shift groups + 1 true-zero pad group).
+        Q = 5*O*R (live shift groups only).
     """
     build = jax.jit(dt.build_mac_rhs)
     parts = [build(jnp.asarray(limbs[i:i + chunk]))

@@ -11,7 +11,7 @@ L=64), engineered for TPU:
   ~30x slower than static slicing);
 - the transform-domain MAC is ONE batched matmul per bootstrap-key row:
   ``(B, L, C) x (L, C, Q) -> (B, L, Q)`` with C = G*2R (acc limbs x
-  decomposition rows x lane) and Q = 6*O*R (shift groups x output polys x
+  decomposition rows x lane) and Q = 5*O*R (shift groups x output polys x
   lane), int8 operands with int32 accumulation (exact: |products| <= 2^14,
   256-term sums <= 2^22) — this is what rides the MXU;
 - the unscaled inverse transform runs on a redundant two-channel i32
@@ -180,7 +180,7 @@ def _bitrev6(t):
 BITREV_L = np.array([_bitrev6(t) for t in range(L)])
 
 
-def build_mac_rhs(limbs, bitrev_order=True, n_groups=6):
+def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
     """Device-side: compact two-sided transformed-key limbs -> the MAC rhs
     operand with the negacyclic signs BAKED IN (pure int8; the matmul is a
     direct int8 x int8 -> int32 contraction, no runtime sign mask).
@@ -196,9 +196,10 @@ def build_mac_rhs(limbs, bitrev_order=True, n_groups=6):
     :param bitrev_order: store slot p = key frequency bitrev_6(p), matching
         the DIF-forward/DIT-inverse dataflow of ``ops/flat_engine`` (no
         bit-reversal permutation anywhere on the hot path).
-    :param n_groups: shift groups in Q (>= SHIFT_GROUPS; the default 6 pads
-        Q to 384 = 3 lane tiles, group s with 8s >= 38 is true zeros —
-        its weight 2^(8s) is 0 mod 2^38).
+    :param n_groups: shift groups in Q.  The default 5 = SHIFT_GROUPS keeps
+        only live groups (Q = 320; measured slightly faster and 17% less
+        HBM than padding to 384).  Values with 8s >= 38 would be true
+        zeros (weight 0 mod 2^38) and are never emitted.
     :returns: (..., L, G*2R, n_groups*O*R) int8.
     """
     g, o_sz = limbs.shape[-6], limbs.shape[-5]
