@@ -80,6 +80,12 @@ from .models.gates import (
 )
 from .models.integer import (
     uint_min,
+    uint_max,
+    uint_add,
+    uint_sub,
+    uint_gt,
+    uint_lt,
+    uint_eq,
     uintarray_to_bitarray,
     bitarray_to_uintarray,
 )

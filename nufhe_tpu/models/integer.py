@@ -12,7 +12,8 @@ encrypted bit, with a leading batch axis.
 import numpy as np
 
 from ..api import empty_ciphertext
-from .gates import gate_constant, gate_xnor, gate_xor, gate_and, gate_mux
+from .gates import (
+    gate_constant, gate_xnor, gate_xor, gate_and, gate_mux)
 
 
 def _uint_to_bits(x, bitsize):
@@ -37,10 +38,13 @@ def uintarray_to_bitarray(xs, itemsize=None):
 
 
 def bitarray_to_uintarray(xs):
-    """Big-endian bit array -> unsigned integer array (drops last axis)."""
+    """Big-endian bit array -> unsigned integer array (drops last axis).
+    Widths that are not a power-of-two byte size use the next wider dtype."""
     xs = np.asarray(xs)
     itemsize = xs.shape[-1]
-    dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[itemsize]
+    dtype = next(dt for width, dt in ((8, np.uint8), (16, np.uint16),
+                                      (32, np.uint32), (64, np.uint64))
+                 if itemsize <= width)
     flat = xs.reshape(-1, itemsize)
     ints = [_bits_to_uint(flat[j], dtype) for j in range(flat.shape[0])]
     return np.array(ints).reshape(xs.shape[:-1])
@@ -133,5 +137,58 @@ def uint_add(cloud_key, answer, a, b, perf_params=None):
         gate_xor(cloud_key, s, p, carry, perf_params=perf_params)
         answer[..., i:i + 1] = s
         # carry_out = p ? carry : a_i
+        gate_mux(cloud_key, carry, p, carry, a_slice, perf_params=perf_params)
+    return answer
+
+
+def uint_max(cloud_key, answer, a, b, perf_params=None):
+    """Encrypted maximum of two unsigned integers (big-endian bit arrays):
+    the same comparison ladder as ``uint_min`` with the final selection
+    flipped."""
+    carry = _compare_ladder(cloud_key, a, b, perf_params=perf_params)
+    # carry == 1 -> a > b: answer = carry ? a : b
+    gate_mux(cloud_key, answer, carry, a, b, perf_params=perf_params)
+    return answer
+
+
+def uint_eq(cloud_key, answer, a, b, perf_params=None):
+    """answer = encrypted bit [a == b] (shape (..., 1)): AND-reduction of
+    per-bit XNORs."""
+    params = cloud_key.params
+    itemsize = a.shape[-1]
+    acc = empty_ciphertext(params, a.shape[:-1] + (1,))
+    tmp = empty_ciphertext(params, a.shape[:-1] + (1,))
+    gate_xnor(cloud_key, acc, a[..., 0:1], b[..., 0:1],
+              perf_params=perf_params)
+    for i in range(1, itemsize):
+        gate_xnor(cloud_key, tmp, a[..., i:i + 1], b[..., i:i + 1],
+                  perf_params=perf_params)
+        gate_and(cloud_key, acc, acc, tmp, perf_params=perf_params)
+    from .gates import gate_copy
+    gate_copy(cloud_key, answer, acc)
+    return answer
+
+
+def uint_sub(cloud_key, answer, a, b, perf_params=None):
+    """Encrypted subtraction a - b (mod 2^itemsize): ripple over
+    a + NOT(b) with carry-in 1.
+
+    Per bit: p = a XOR NOT(b) = XNOR(a, b); sum = p XOR carry;
+    carry' = p ? carry : a_i.
+    """
+    params = cloud_key.params
+    itemsize = answer.shape[-1]
+
+    p = empty_ciphertext(params, a.shape[:-1] + (1,))
+    s = empty_ciphertext(params, a.shape[:-1] + (1,))
+    carry = empty_ciphertext(params, a.shape[:-1] + (1,))
+    gate_constant(cloud_key, carry, True)
+
+    for i in reversed(range(itemsize)):  # LSB (last index) to MSB
+        a_slice = a[..., i:i + 1]
+        b_slice = b[..., i:i + 1]
+        gate_xnor(cloud_key, p, a_slice, b_slice, perf_params=perf_params)
+        gate_xor(cloud_key, s, p, carry, perf_params=perf_params)
+        answer[..., i:i + 1] = s
         gate_mux(cloud_key, carry, p, carry, a_slice, perf_params=perf_params)
     return answer
