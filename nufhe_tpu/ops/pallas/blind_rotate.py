@@ -67,23 +67,28 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
     return step
 
 
-def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
-                           offset: int, n_steps: int, lane_tile: int = 512,
-                           mac_dtype=jnp.int8, interpret: bool = False,
-                           vmem_limit_mb: int = 120):
-    """The FULL n-step blind rotation as ONE pallas_call.
+def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
+                            offset: int, chunk: int, lane_tile: int = 512,
+                            mac_dtype=jnp.int8, interpret: bool = False,
+                            vmem_limit_mb: int = 120):
+    """``chunk`` consecutive CMUX steps as ONE pallas_call.
 
-    Grid = (batch cells, steps); the accumulator is the revisited output
-    block (stays in VMEM across all steps of a cell, written back once),
-    bootstrap-key rows stream through the Pallas pipeline with automatic
-    prefetch double-buffering, and per-step bara slices ride along.  This
-    is the direct analogue of the reference's persistent fused kernel
-    (``nufhe/blind_rotate.mako``): one kernel launch per gate call instead
-    of 500, no accumulator HBM round-trips.
+    Grid = (batch cells, steps-in-chunk); the accumulator is the revisited
+    output block — it stays in VMEM across all steps of a cell and is
+    written back once per chunk, eliminating the per-step accumulator HBM
+    round-trip of the single-step launch (~16 KB/lane/step).  Bootstrap-key
+    rows and bara slices stream through the Pallas pipeline with automatic
+    prefetch double-buffering; the chunk's starting step arrives as a
+    scalar-prefetch argument, so every chunk reuses the SAME compiled
+    kernel (no per-chunk key slicing or recompilation).  This is the
+    chunked analogue of the reference's persistent fused kernel
+    (``nufhe/blind_rotate.mako``), sized so one launch stays well under
+    the TPU runtime watchdog.
     """
     n_rows = mask1 * re_.N
 
-    def kernel(bara_ref, acc_in_ref, rhs_ref, out_ref):
+    def kernel(start_ref, bara_ref, acc_in_ref, rhs_ref, out_ref):
+        del start_ref  # consumed by the index maps
         step = pl.program_id(1)
 
         @pl.when(step == 0)
@@ -95,32 +100,41 @@ def make_blind_rotate_rows(mask1: int, decomp_length: int, log2_base: int,
             mask1=mask1, decomp_length=decomp_length,
             log2_base=log2_base, offset=offset, mac_dtype=mac_dtype)
 
-    def rotate(acc_rows, bara_t, bk_dev):
+    def rotate(acc_rows, bara3, bk_dev, start):
+        """One chunk: steps [start, start+chunk) of the rotation.
+
+        :param acc_rows: (mask1*N, B) int32.
+        :param bara3: (n, 1, B) int32 (full rotation's powers).
+        :param bk_dev: (n, L, C, Q) int8 (full key).
+        :param start: int32 scalar (traced ok), chunk base step.
+        """
         b = acc_rows.shape[-1]
         bt = min(lane_tile, b)
         assert b % bt == 0, (b, bt)
         c_size, q_size = bk_dev.shape[-2], bk_dev.shape[-1]
-        bara3 = bara_t.reshape(n_steps, 1, b)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // bt, chunk),
+            in_specs=[
+                pl.BlockSpec((1, 1, bt),
+                             lambda i, s, start_ref: (start_ref[0] + s, 0, i)),
+                pl.BlockSpec((n_rows, bt), lambda i, s, start_ref: (0, i)),
+                pl.BlockSpec((1, re_.L, c_size, q_size),
+                             lambda i, s, start_ref:
+                             (start_ref[0] + s, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((n_rows, bt),
+                                   lambda i, s, start_ref: (0, i)),
+        )
         return pl.pallas_call(
             kernel,
-            grid=(b // bt, n_steps),
-            in_specs=[
-                pl.BlockSpec((1, 1, bt), lambda i, s: (s, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_rows, bt), lambda i, s: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, re_.L, c_size, q_size),
-                             lambda i, s: (s, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((n_rows, bt), lambda i, s: (0, i),
-                                   memory_space=pltpu.VMEM),
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(bara3, acc_rows, bk_dev)
+        )(jnp.asarray(start, jnp.int32).reshape(1), bara3, acc_rows, bk_dev)
 
     return rotate
 

@@ -196,8 +196,63 @@ def bench_parts(batch):
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "step"
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
-    if mode == "parts":
+    if mode == "rotation":
+        lt = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+        bench_rotation(b, lt)
+    elif mode == "parts":
         bench_parts(b)
     else:
         lt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
         bench_step(b, lt)
+
+
+def bench_rotation(batch, lane_tile, n_steps=100):
+    """Per-step launches vs chunked multi-step launches, full rotation."""
+    from nufhe_tpu.ops import transform as dt
+    from nufhe_tpu.ops.pallas import blind_rotate as pbr
+
+    tp, re_, acc, powers, row = _setup(batch)
+    rs = np.random.RandomState(1)
+    bk = jnp.asarray(np.broadcast_to(
+        np.asarray(row)[None], (n_steps,) + row.shape).copy())
+    bara_t = jnp.asarray(
+        rs.randint(0, 2048, (n_steps, batch)).astype(np.int32))
+    args = (2, tp.decomp_length, tp.bs_log2_base, int(tp.offset))
+
+    step = pbr.make_external_step_rows(
+        *args, lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
+
+    def per_step(a):
+        def body(i, a_):
+            p = jax.lax.dynamic_index_in_dim(bara_t, i, 0, keepdims=True)
+            r = jax.lax.dynamic_index_in_dim(bk, i, 0, keepdims=False)
+            return step(a_, p, r)
+        return jax.lax.fori_loop(0, n_steps, body, a)
+
+    results = {}
+    f = jax.jit(per_step)
+    t = timed_chain(f, acc, iters=3, inner=2)
+    results['per-step'] = t
+    print(f"per-step   x{n_steps}: {t*1e3:9.2f} ms "
+          f"({t/n_steps*1e6:7.1f} us/step)")
+
+    bara3 = bara_t.reshape(n_steps, 1, batch)
+    for chunk in (10, 25, 50):
+        if n_steps % chunk:
+            continue
+        rot = pbr.make_blind_rotate_chunk(
+            *args, chunk, lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
+
+        def chunked(a, rot=rot, chunk=chunk):
+            def body(i, a_):
+                return rot(a_, bara3, bk, i * chunk)
+            return jax.lax.fori_loop(0, n_steps // chunk, body, a)
+
+        fc = jax.jit(chunked)
+        # correctness vs per-step
+        same = bool(np.array_equal(np.asarray(f(acc)), np.asarray(fc(acc))))
+        t = timed_chain(fc, acc, iters=3, inner=2)
+        results[chunk] = t
+        print(f"chunk={chunk:3d} x{n_steps}: {t*1e3:9.2f} ms "
+              f"({t/n_steps*1e6:7.1f} us/step)  exact={same}")
+    return results
