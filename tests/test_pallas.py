@@ -39,3 +39,36 @@ def test_pallas_step_interpret_matches_oracle(rng):
     got_rows = step(acc_rows, jnp.asarray(powers)[None, :], bk_dev[0])
     got = np.asarray(re_.acc_n_from_rows(got_rows, mask1))
     assert np.array_equal(got, want)
+
+
+def test_pallas_chunked_rotation_interpret(rng):
+    """The chunked multi-step launch (scalar-prefetch key indexing,
+    VMEM-revisited accumulator) equals per-step composition bit-exactly."""
+    params = NuFHEParameters()
+    tp = params.tgsw_params
+    mask1 = 2
+    b = 128
+    n_steps = 4
+    accum = rng.randint(-2**31, 2**31, (b, mask1, 1024)).astype(np.int32)
+    powers = rng.randint(0, 2 * 1024, (n_steps, b)).astype(np.int32)
+    bk_coeff = rng.randint(
+        -2**31, 2**31,
+        (n_steps, mask1, tp.decomp_length, mask1, 1024)).astype(np.int32)
+    bk_dev = dtgsw.prepare_bootstrap_key_device(bk_coeff)
+
+    step = pbr.make_external_step_rows(
+        mask1, tp.decomp_length, tp.bs_log2_base, int(tp.offset),
+        lane_tile=128, mac_dtype=jnp.float32, interpret=True)
+    acc_rows = re_.acc_rows_from_n(jnp.asarray(accum))
+    want = acc_rows
+    for i in range(n_steps):
+        want = step(want, jnp.asarray(powers[i])[None, :], bk_dev[i])
+
+    rot = pbr.make_blind_rotate_chunk(
+        mask1, tp.decomp_length, tp.bs_log2_base, int(tp.offset),
+        chunk=2, lane_tile=128, mac_dtype=jnp.float32, interpret=True)
+    bara3 = jnp.asarray(powers).reshape(n_steps, 1, b)
+    got = acc_rows
+    for c in range(n_steps // 2):
+        got = rot(got, bara3, bk_dev, c * 2)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
