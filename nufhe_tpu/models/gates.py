@@ -113,10 +113,10 @@ def _perf_kwargs(perf_params):
 
 
 def _looks_like_vmem_oom(exc) -> bool:
-    msg = str(exc)
-    return any(tag in msg for tag in (
-        'RESOURCE_EXHAUSTED', 'VMEM', 'vmem', 'Ran out of memory',
-        'exceeds the limit'))
+    # Mosaic scoped-memory failures name VMEM explicitly; matching broader
+    # OOM phrases would send unrelated failures into futile tile-shrink
+    # retries and mask the real error.
+    return 'vmem' in str(exc).lower()
 
 
 # successful lane tiles per (platform, batch): remembered so the shrink
@@ -296,14 +296,16 @@ def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
     lwe_b = jnp.concatenate(
         [(and_const + ab + bb).astype(jnp.int32),
          (and_const - ab + cb).astype(jnp.int32)], axis=0)
-    ex_a, ex_b, _ = dboot.bootstrap_device(
+    ex_a, ex_b, ex_cv = dboot.bootstrap_device(
         lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
         no_keyswitch=True, **perf)
 
-    # (0, 1/8) + u1 + u2 in the extracted space, then a single keyswitch
+    # (0, 1/8) + u1 + u2 in the extracted space, then a single keyswitch;
+    # the summed bootstraps' variance estimates ride into the keyswitch
     ta = (ex_a[:bsz] + ex_a[bsz:]).astype(jnp.int32)
     tb = (mux_const + ex_b[:bsz] + ex_b[bsz:]).astype(jnp.int32)
-    return dlwe.lwe_keyswitch(ks_arrays, ks_meta, ta, tb)
+    tcv = ex_cv[:bsz] + ex_cv[bsz:]
+    return dlwe.lwe_keyswitch(ks_arrays, ks_meta, ta, tb, source_cv=tcv)
 
 
 def gate_mux(cloud_key, result, a, b, c, perf_params=None):

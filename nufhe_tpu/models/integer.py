@@ -42,9 +42,11 @@ def bitarray_to_uintarray(xs):
     Widths that are not a power-of-two byte size use the next wider dtype."""
     xs = np.asarray(xs)
     itemsize = xs.shape[-1]
-    dtype = next(dt for width, dt in ((8, np.uint8), (16, np.uint16),
-                                      (32, np.uint32), (64, np.uint64))
-                 if itemsize <= width)
+    dtype = next((dt for width, dt in ((8, np.uint8), (16, np.uint16),
+                                       (32, np.uint32), (64, np.uint64))
+                  if itemsize <= width), None)
+    if dtype is None:
+        raise ValueError("bit width %d exceeds 64" % itemsize)
     flat = xs.reshape(-1, itemsize)
     ints = [_bits_to_uint(flat[j], dtype) for j in range(flat.shape[0])]
     return np.array(ints).reshape(xs.shape[:-1])

@@ -34,14 +34,16 @@ def t32_to_phase(phase, mspace_size: int):
 _VMEM_KB_PER_LANE = 75.0
 
 
-def lane_tile_for(batch: int, vmem_limit_mb: int) -> int:
+def lane_tile_for(batch: int, vmem_limit_mb: int):
     """Largest 128-multiple lane tile whose step-kernel working set fits
-    the scoped-VMEM budget (device-resolved; see performance.py)."""
+    the scoped-VMEM budget (device-resolved; see performance.py), or None
+    when not even the 128-lane minimum fits (the caller then falls back
+    to the XLA-composed path)."""
     for tile in (1024, 512, 256, 128):
         if tile <= max(batch, 128) and \
                 tile * _VMEM_KB_PER_LANE / 1024.0 <= vmem_limit_mb:
             return tile
-    return 128
+    return None
 
 
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
@@ -103,16 +105,23 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         out = re_.acc_n_from_rows(acc_rows, mask1)
         return out.reshape(lead + (mask1, fe.N))
 
+    if vmem_limit_mb is None:
+        vmem_limit_mb = 120
+    if use_pallas and lane_tile is None:
+        lane_tile = lane_tile_for(
+            int(np.prod(lead)) if lead else accum_a.shape[0], vmem_limit_mb)
+        if lane_tile is None:
+            # not even a 128-lane tile fits this device's VMEM: run the
+            # XLA-composed path instead of handing Mosaic an impossible
+            # kernel
+            use_pallas = False
+
     if use_pallas:
         from .pallas import blind_rotate as pbr
 
         acc = accum_a.reshape((-1, mask1, fe.N))
         bara2 = bara.reshape((-1, n))
         bsz = acc.shape[0]
-        if vmem_limit_mb is None:
-            vmem_limit_mb = 120
-        if lane_tile is None:
-            lane_tile = lane_tile_for(bsz, vmem_limit_mb)
         pad = (-bsz) % lane_tile
         if pad:
             acc = jnp.concatenate(
@@ -122,7 +131,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         acc_rows = re_.acc_rows_from_n(acc)
         bara_t = jnp.transpose(bara2)        # (n, B): per-step contiguous rows
 
-        # Optional multi-step chunked launches (NUFHE_TPU_CHUNK_STEPS=k):
+        # Optional multi-step chunked launches (NUFHE_TPU_CHUNK_STEPS=k,
+        # read at trace time - set it before the first gate call):
         # the accumulator stays in VMEM for k consecutive CMUX steps
         # (revisited output block) and is written back once per chunk,
         # with key rows / bara slices streaming under automatic prefetch

@@ -417,7 +417,7 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         ev_a0 = ((u & 0xFF) - jnp.int32(128)).reshape(sh)
         od_a0 = (((u >> 16) & 0xFF) - jnp.int32(128)).reshape(sh)
         ev_a1 = (((u >> 8) & 0xFF) - jnp.int32(64)).reshape(sh)
-        od_a1 = ((u >> 24) - jnp.int32(64)).reshape(sh)
+        od_a1 = (((u >> 24) & 0xFF) - jnp.int32(64)).reshape(sh)
         # lhs C-order (g = (pair, field), limb, u-lane): metadata interleave
         lhs = jnp.concatenate([
             jnp.concatenate([ev_a0, ev_a1], axis=3),

@@ -33,12 +33,14 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
 
     On TPU pods with standard env metadata every argument may be None; for
     manual bring-up (e.g. CPU multi-process tests) pass them explicitly.
+    Calling again after a successful init is a no-op.
     """
-    if jax.process_count() > 1 or num_processes in (None, 1) and \
-            coordinator_address is None:
-        # single-process or already initialized: nothing to do
-        if coordinator_address is None:
-            return
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -60,6 +62,10 @@ def make_global_mesh(n_model: int = 1, devices=None):
         raise ValueError(
             "n_model=%d exceeds devices per host (%d): the model axis must "
             "stay inside a host so collectives ride ICI" % (n_model, n_local))
+    if len(devices) % n_model:
+        raise ValueError(
+            "device count %d is not divisible by n_model=%d"
+            % (len(devices), n_model))
     n_data = len(devices) // n_model
     arr = np.empty((n_data, n_model), dtype=object)
     # fill model-axis-fastest so each model group is host-local

@@ -13,9 +13,9 @@ with ``for_device()`` into a ``PerformanceParametersForDevice``:
 - ``vmem_mb`` comes from an explicit override (``NUFHE_TPU_VMEM_MB``), a
   device-kind table, or the conservative default;
 - the lane tile is then derived from the VMEM budget at call time
-  (``ops/bootstrap.lane_tile_for``), so v2/v3-class cores (16 MB VMEM)
-  automatically run small tiles while v4/v5/v6-class cores (128 MB) run
-  1024-lane tiles;
+  (``ops/bootstrap.lane_tile_for``); v4/v5/v6-class cores (128 MB) run
+  1024-lane tiles, and devices whose budget cannot fit even the 128-lane
+  minimum working set fall back to the XLA-composed path;
 - if the Mosaic compiler still reports an out-of-VMEM condition at
   compile time, the gate layer shrinks the tile and retries
   (``models/gates._run_with_vmem_fallback`` — the analogue of the

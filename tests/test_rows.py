@@ -64,3 +64,31 @@ def test_swar_pack_roundtrip(rng):
     za, zb = re_.unpack_pairs(s)
     assert int(np.abs(np.asarray(za)).max()) == 0
     assert int(np.abs(np.asarray(zb)).max()) == 0
+
+
+def test_swar_limb_split_at_extreme_forward_values(rng):
+    """Regression: digits of -512 drive forward-transform values to exactly
+    +-2^14, putting the packed odd field at 2^15 (word bit 31 set); the
+    packed limb extraction must mask after the arithmetic shift or the odd
+    high limb sign-extends (wrong on the non-int8 MAC path)."""
+    params = NuFHEParameters()
+    tp = params.tgsw_params
+    mask1 = 2
+    b = 4
+    # acc = -offset everywhere decomposes to all digits == -512
+    accum = np.full((b, mask1, 1024), -int(tp.offset), np.int32)
+    bk_coeff = rng.randint(
+        -2**31, 2**31,
+        (1, mask1, tp.decomp_length, mask1, 1024)).astype(np.int32)
+    bk_dev = dtgsw.prepare_bootstrap_key_device(bk_coeff)
+    want = accum + tgsw_ref.tgsw_external_mul(accum, bk_coeff, 0, tp)
+
+    acc_rows = re_.acc_rows_from_n(jnp.asarray(accum))
+    digits = re_.gadget_decomp(
+        acc_rows, mask1, tp.decomp_length, tp.bs_log2_base, int(tp.offset))
+    assert int(np.asarray(digits).min()) == -512          # extreme digits
+    delta = re_.transformed_mac(
+        digits, bk_dev[0], mask1=mask1, g_total=mask1 * tp.decomp_length,
+        mac_dtype=jnp.float32)
+    got = np.asarray(re_.acc_n_from_rows(acc_rows + delta, mask1))
+    assert np.array_equal(got, want)

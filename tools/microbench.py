@@ -193,19 +193,6 @@ def bench_parts(batch):
         print(f"{nm:16s}: {t*1000:8.3f} ms")
 
 
-if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "step"
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
-    if mode == "rotation":
-        lt = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
-        bench_rotation(b, lt)
-    elif mode == "parts":
-        bench_parts(b)
-    else:
-        lt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
-        bench_step(b, lt)
-
-
 def bench_rotation(batch, lane_tile, n_steps=100):
     """Per-step launches vs chunked multi-step launches, full rotation."""
     from nufhe_tpu.ops import transform as dt
@@ -256,3 +243,16 @@ def bench_rotation(batch, lane_tile, n_steps=100):
         print(f"chunk={chunk:3d} x{n_steps}: {t*1e3:9.2f} ms "
               f"({t/n_steps*1e6:7.1f} us/step)  exact={same}")
     return results
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "step"
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    if mode == "rotation":
+        lt = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+        bench_rotation(b, lt)
+    elif mode == "parts":
+        bench_parts(b)
+    else:
+        lt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+        bench_step(b, lt)
