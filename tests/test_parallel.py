@@ -91,3 +91,13 @@ def test_data_parallel_gate_end_to_end(keys):
     vm = nf.VirtualMachine(cloud2)
     res = vm.gate_nand(ca, cb)
     assert np.array_equal(nf.decrypt(secret, res), ~(bits_a & bits_b))
+
+
+@pytest.mark.heavy
+def test_multiprocess_spmd_dryrun():
+    """Two cooperating processes x 4 virtual CPU devices: one sharded
+    bootstrap over the cross-process global mesh, bit-exact per shard
+    (gloo collectives; the multi-host wiring the driver also validates)."""
+    from nufhe_tpu.parallel import distributed as pdist
+    lines = pdist.run_multiprocess_dryrun(nprocs=2, local_devices=4)
+    assert all("bit-exact" in line for line in lines), lines
