@@ -12,6 +12,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# the TPU-tunnel sitecustomize can force its platform over the env var;
+# jax.config wins, so re-assert an explicit JAX_PLATFORMS choice
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import nufhe_tpu as nf
 from nufhe_tpu.parallel import mesh as pmesh
 
