@@ -12,37 +12,52 @@ The export surface mirrors the reference's ``nufhe/__init__.py:18-59``.
 __version__ = "0.1.0"
 
 
-def _enable_persistent_compilation_cache():
-    """Point JAX's persistent compilation cache at a per-user directory.
+_compile_cache_decided = False
+
+
+def _maybe_enable_persistent_compilation_cache():
+    """Point JAX's persistent compilation cache at a per-user directory —
+    for accelerator backends only, decided lazily at first device use.
 
     The fused bootstrap program costs minutes of XLA+Mosaic compile time at
     large batch; caching it on disk makes every process after the first
-    start in seconds.  Opt out with NUFHE_TPU_NO_COMPILE_CACHE=1 or by
-    setting jax_compilation_cache_dir yourself before importing nufhe_tpu.
-    (Analogue of the reference's in-process computation cache,
+    start much faster.  The cache stays OFF for the CPU backend: XLA:CPU
+    executables are AOT-compiled for the exact machine features of the
+    compiling host, and loading an entry produced on a different machine
+    (e.g. via a remote-compile service) can crash outright — observed as a
+    segfault in ``compilation_cache.get_executable_and_time``.
+
+    Deferred (not at import) so importing nufhe_tpu never initializes a
+    JAX backend — which would break ``jax.distributed.initialize`` ordering
+    for multi-host users.  Opt out with NUFHE_TPU_NO_COMPILE_CACHE=1 or by
+    setting jax_compilation_cache_dir yourself.  (Analogue of the
+    reference's in-process computation cache,
     ``nufhe/computation_cache.py``, extended across processes.)
     """
+    global _compile_cache_decided
+    if _compile_cache_decided:
+        return
     import os
     import tempfile
 
+    _compile_cache_decided = True
     if os.environ.get("NUFHE_TPU_NO_COMPILE_CACHE"):
         return
     import jax
 
-    if jax.config.jax_compilation_cache_dir:
-        return
-    path = os.environ.get("NUFHE_TPU_COMPILE_CACHE_DIR") or os.path.join(
-        tempfile.gettempdir(), "nufhe_tpu_jaxcache_%d" % os.getuid())
     try:
+        if jax.default_backend() == "cpu":
+            return
+        if jax.config.jax_compilation_cache_dir:
+            return
+        path = os.environ.get("NUFHE_TPU_COMPILE_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), "nufhe_tpu_jaxcache_%d" % os.getuid())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
-
-
-_enable_persistent_compilation_cache()
 
 from .api import (
     Context,

@@ -152,7 +152,9 @@ class BootstrapKey:
     def device(self):
         """The HBM-resident transformed/limb/expanded key for the MXU MAC."""
         if self._device is None:
+            from . import _maybe_enable_persistent_compilation_cache
             from .ops import tgsw as dtgsw
+            _maybe_enable_persistent_compilation_cache()
             self._device = dtgsw.expand_bootstrap_key_device(self.limbs())
         return self._device
 
@@ -223,7 +225,9 @@ class LweKeyswitchKey:
 
     def device(self):
         if self._device is None:
+            from . import _maybe_enable_persistent_compilation_cache
             from .ops import lwe as dlwe
+            _maybe_enable_persistent_compilation_cache()
             self._device = dlwe.prepare_keyswitch_device(
                 self.ks_a, self.ks_b, self.ks_cv, self.log2_base)
         return self._device

@@ -86,6 +86,8 @@ class PerformanceParametersForDevice:
 
     def __init__(self, perf_params: PerformanceParameters, device=None):
         import jax
+        from . import _maybe_enable_persistent_compilation_cache
+        _maybe_enable_persistent_compilation_cache()
         if device is None:
             device = jax.devices()[0]
         platform = getattr(device, "platform", "cpu")

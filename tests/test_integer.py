@@ -2,8 +2,19 @@
 
 import numpy as np
 import pytest
+import jax
 
 import nufhe_tpu as nf
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    # Same XLA:CPU defect as tests/test_parallel.py: with a large
+    # accumulated in-process compilation cache (e.g. after the --heavy
+    # full-parameter gate programs), a later CPU compile can segfault in
+    # backend_compile_and_load.  Start this module clean.
+    jax.clear_caches()
+    yield
 from nufhe_tpu.models.integer import (
     uintarray_to_bitarray, bitarray_to_uintarray, uint_min)
 
