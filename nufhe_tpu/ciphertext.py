@@ -24,7 +24,7 @@ class LweSampleArray:
 
     .. attribute:: shape
 
-        The shape of the encrypted plaintext message.
+        Batch shape of the underlying plaintext (one LWE sample per entry).
     """
 
     def __init__(self, params: LweParams, a, b, current_variances):
@@ -74,7 +74,9 @@ class LweSampleArray:
 
     def __setitem__(self, index, value):
         if not isinstance(value, LweSampleArray):
-            raise ValueError("Only assignment of ciphertexts is supported")
+            raise ValueError(
+                "can only assign another LweSampleArray into a ciphertext "
+                "view, got %r" % (type(value),))
         index = self._normalize_index(index)
         self.a = self.a.at[index].set(value.a)
         self.b = self.b.at[index].set(value.b)
@@ -139,7 +141,7 @@ def concatenate(lwe_sample_arrays, axis=0, out=None):
     """Concatenate ciphertext arrays along ``axis``
     (reference: ``nufhe/lwe.py:425-447``)."""
     if len(lwe_sample_arrays) == 0:
-        raise ValueError("Need at least one ciphertext to concatenate")
+        raise ValueError("concatenate() requires a non-empty ciphertext list")
     params = lwe_sample_arrays[0].params
     a = jnp.concatenate([c.a for c in lwe_sample_arrays], axis=axis)
     b = jnp.concatenate([c.b for c in lwe_sample_arrays], axis=axis)

@@ -80,10 +80,10 @@ def _broadcast_flat(ct, shape, lwe_size):
 
 @partial(jax.jit, static_argnames=(
     'mu', 'tgsw_params', 'ks_meta', 'no_keyswitch', 'use_pallas',
-    'lane_tile', 'vmem_limit_mb'))
+    'lane_tile', 'vmem_limit_mb', 'chunk_steps'))
 def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
                       tgsw_params, ks_meta, no_keyswitch, use_pallas=None,
-                      lane_tile=None, vmem_limit_mb=None):
+                      lane_tile=None, vmem_limit_mb=None, chunk_steps=1):
     """temp = (0, const) + sum_i coeffs[i] * inputs[i]; bootstrap(temp).
 
     ``const`` and ``coeffs`` are traced scalars, so all two-input gates share
@@ -101,7 +101,7 @@ def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
         ta.astype(jnp.int32), tb.astype(jnp.int32), bk_dev, ks_arrays,
         ks_meta, mu, tgsw_params, no_keyswitch=no_keyswitch,
         use_pallas=use_pallas, lane_tile=lane_tile,
-        vmem_limit_mb=vmem_limit_mb)
+        vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps)
 
 
 def _perf_kwargs(perf_params):
@@ -109,7 +109,8 @@ def _perf_kwargs(perf_params):
         return {}
     return dict(use_pallas=perf_params.single_kernel_bootstrap,
                 lane_tile=perf_params.batch_tile,
-                vmem_limit_mb=getattr(perf_params, 'vmem_limit_mb', None))
+                vmem_limit_mb=getattr(perf_params, 'vmem_limit_mb', None),
+                chunk_steps=getattr(perf_params, 'chunk_steps', 1))
 
 
 def _looks_like_vmem_oom(exc) -> bool:
@@ -272,10 +273,10 @@ def gate_constant(cloud_key, result, vals, perf_params=None):
 
 @partial(jax.jit, static_argnames=('mu', 'tgsw_params', 'ks_meta',
                                    'use_pallas', 'lane_tile',
-                                   'vmem_limit_mb'))
+                                   'vmem_limit_mb', 'chunk_steps'))
 def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
                 ks_meta, use_pallas=None, lane_tile=None,
-                vmem_limit_mb=None):
+                vmem_limit_mb=None, chunk_steps=1):
     and_const = jnp.int32(phase_to_t32(-1, 8))
     mux_const = jnp.int32(phase_to_t32(1, 8))
 
@@ -284,7 +285,7 @@ def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
     ca, cb, ccv = c_in
 
     perf = dict(use_pallas=use_pallas, lane_tile=lane_tile,
-                vmem_limit_mb=vmem_limit_mb)
+                vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps)
     # The two keyswitch-free bootstraps — u1 = BS((0,-1/8) + a + b) and
     # u2 = BS((0,-1/8) - a + c) — are batch-concatenated into ONE blind
     # rotation over 2B lanes, so MUX keeps the per-lane pipeline efficiency

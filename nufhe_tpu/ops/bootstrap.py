@@ -8,7 +8,6 @@ HBM-resident transformed bootstrap key, dual-channel inverse — all of which
 XLA compiles into a single program; batch is the parallel axis.
 """
 
-import os
 from functools import partial
 
 import numpy as np
@@ -30,25 +29,28 @@ def t32_to_phase(phase, mspace_size: int):
 
 
 # measured peak scoped-VMEM of the fused step kernel per batch lane
-# (v5e, mask_size=1: ~75 MB at 1024 lanes)
-_VMEM_KB_PER_LANE = 75.0
+# (v5e, mask_size=1 i.e. mask1=2: ~75 MB at 1024 lanes).  Every per-lane
+# intermediate of the step scales linearly with mask1, so the estimate is
+# scaled accordingly for other mask sizes.
+_VMEM_KB_PER_LANE_MASK1_2 = 75.0
 
 
-def lane_tile_for(batch: int, vmem_limit_mb: int):
+def lane_tile_for(batch: int, vmem_limit_mb: int, mask1: int = 2):
     """Largest 128-multiple lane tile whose step-kernel working set fits
     the scoped-VMEM budget (device-resolved; see performance.py), or None
     when not even the 128-lane minimum fits (the caller then falls back
     to the XLA-composed path)."""
+    kb_per_lane = _VMEM_KB_PER_LANE_MASK1_2 * (mask1 / 2.0)
     for tile in (1024, 512, 256, 128):
         if tile <= max(batch, 128) and \
-                tile * _VMEM_KB_PER_LANE / 1024.0 <= vmem_limit_mb:
+                tile * kb_per_lane / 1024.0 <= vmem_limit_mb:
             return tile
     return None
 
 
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                  use_pallas=None, lane_tile=None, slot_axis_name=None,
-                 vmem_limit_mb=None):
+                 vmem_limit_mb=None, chunk_steps=1):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     On TPU (and without tensor parallelism) each CMUX step runs as one
@@ -109,7 +111,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         vmem_limit_mb = 120
     if use_pallas and lane_tile is None:
         lane_tile = lane_tile_for(
-            int(np.prod(lead)) if lead else accum_a.shape[0], vmem_limit_mb)
+            int(np.prod(lead)) if lead else accum_a.shape[0], vmem_limit_mb,
+            mask1=mask1)
         if lane_tile is None:
             # not even a 128-lane tile fits this device's VMEM: run the
             # XLA-composed path instead of handing Mosaic an impossible
@@ -131,16 +134,16 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         acc_rows = re_.acc_rows_from_n(acc)
         bara_t = jnp.transpose(bara2)        # (n, B): per-step contiguous rows
 
-        # Optional multi-step chunked launches (NUFHE_TPU_CHUNK_STEPS=k,
-        # read at trace time - set it before the first gate call):
-        # the accumulator stays in VMEM for k consecutive CMUX steps
-        # (revisited output block) and is written back once per chunk,
-        # with key rows / bara slices streaming under automatic prefetch
-        # double-buffering.  Measured on v5e at batch 16384: speed-equal
-        # to per-step launches (the per-step accumulator HBM streaming,
-        # ~134 GB/s, is fully hidden behind compute) at ~2x the cold
-        # Mosaic compile time — so per-step remains the default.
-        chunk = int(os.environ.get("NUFHE_TPU_CHUNK_STEPS", "1"))
+        # Optional multi-step chunked launches
+        # (PerformanceParameters(chunk_steps=k)): the accumulator stays in
+        # VMEM for k consecutive CMUX steps (revisited output block) and is
+        # written back once per chunk, with key rows / bara slices streaming
+        # under automatic prefetch double-buffering.  Measured on v5e at
+        # batch 16384: speed-equal to per-step launches (the per-step
+        # accumulator HBM streaming, ~134 GB/s, is fully hidden behind
+        # compute) at ~2x the cold Mosaic compile time — so per-step
+        # remains the default.
+        chunk = int(chunk_steps or 1)
 
         if chunk > 1 and n % chunk == 0:
             bara3 = bara_t.reshape(n, 1, bara_t.shape[-1])
@@ -188,7 +191,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
 
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
                      no_keyswitch=False, axis_name=None, use_pallas=None,
-                     lane_tile=None, slot_axis_name=None, vmem_limit_mb=None):
+                     lane_tile=None, slot_axis_name=None, vmem_limit_mb=None,
+                     chunk_steps=1):
     """Full gate bootstrap on device.
 
     result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
@@ -212,7 +216,7 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     accum = blind_rotate(accum, bk_dev, bara, tgsw_params,
                          axis_name=axis_name, use_pallas=use_pallas,
                          lane_tile=lane_tile, slot_axis_name=slot_axis_name,
-                         vmem_limit_mb=vmem_limit_mb)
+                         vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
 

@@ -257,6 +257,105 @@ def pack_pairs(a, b_):
             + ((b_ + jnp.int32(_B14)) << 16)).astype(jnp.int32)
 
 
+def decomp_pack2(rot, mask1, log2_base, offset):
+    """Fused gadget decomposition + SWAR pair packing for decomp_length=2.
+
+    The SWAR pairing for l=2 puts digits (g=2o, g=2o+1) = (dig 0, dig 1 of
+    polynomial o) into one word — BOTH extracted from the same shifted
+    value — and the packed row layout (j, pair=o, i) coincides with the acc
+    row layout (j, o, i).  So the whole decomp+pack is elementwise on
+    ``rot``: the (M*g_total*R, b) digits array of the generic path is never
+    materialized.
+
+    :param rot: (mask1*1024, b) int32 acc-layout rows (j, o, i).
+    :returns: (mask1*1024, b) int32 packed digit pairs (biased fields),
+        rows (j, pair, i) with pair = o; bit-identical to
+        ``pack_pairs(gadget_decomp(...)[pairs])``.
+    """
+    base_half = 1 << (log2_base - 1)
+    mask = (1 << log2_base) - 1
+    shifted = rot + jnp.int32(offset)
+    sh0 = 32 - log2_base
+    sh1 = 32 - 2 * log2_base
+    f0 = ((shifted >> sh0) & mask) + jnp.int32(_B14 - base_half)
+    f1 = ((shifted >> sh1) & mask) + jnp.int32(_B14 - base_half)
+    return (f0 + (f1 << 16)).astype(jnp.int32)
+
+
+def dif_forward_packed2(dig_pk, n_pk):
+    """Two-pass radix-8 DIF forward of packed pairs: merged head
+    (h = 32, 16, 8 — the zero-padded initial stage folded in) and merged
+    tail (h = 4, 2, 1).  Bit-identical to ``dif_forward_packed`` (same
+    exact adds in the same ring; every packed operand is a stage value or
+    a uniform negacyclic rotation of one, so the SWAR field bounds of the
+    staged form carry over), but the array is materialized twice instead
+    of four times — the forward is VMEM-traffic-bound, not op-bound.
+
+    :param dig_pk: (M*n_pk*R, b) int32 packed digit pairs (biased fields).
+    :returns: (L*n_pk*R, b) int32 packed transform pairs.
+    """
+    stride = n_pk * R
+    b = dig_pk.shape[-1]
+    A = dig_pk.reshape(M, stride, b)
+
+    # head pass: slots (grp, j), grp in 0..7, j in 0..7.  Per j the four
+    # inputs a,b,c,d = A[j], A[j+8], A[j+16], A[j+24] combine through the
+    # three radix-2 stages h=32 (trivial lo/Y^m hi on zero-padded input),
+    # h=16 and h=8; common subexpressions are the stage-16 values.
+    groups = [[None] * 8 for _ in range(8)]
+    for j in range(8):
+        a = A[j]
+        bb = A[j + 8]
+        c = A[j + 16]
+        d = A[j + 24]
+        c16 = _pk_rot_block(c, 16)
+        d16 = _pk_rot_block(d, 16)
+        p = _pk_add(a, c)                  # B0_j
+        q = _pk_add(bb, d)                 # B0_{j+8}
+        m_ = _pk_sub(a, c)                 # Y^{-2j} B0d_j
+        n_ = _pk_sub(bb, d)                # Y^{-2j-16} B0d_{j+8}
+        r = _pk_add(a, c16)                # Y^{-j} B1_j
+        s_ = _pk_sub(a, c16)               # Y^{-3j} B1d_j
+        t = _pk_add(bb, d16)               # Y^{-j-8} B1_{j+8}
+        u = _pk_sub(bb, d16)               # Y^{-3j-24} B1d_{j+8}
+        groups[0][j] = _pk_add(p, q)
+        groups[1][j] = _pk_rot_block(_pk_sub(p, q), 4 * j)
+        n16 = _pk_rot_block(n_, 16)
+        groups[2][j] = _pk_rot_block(_pk_add(m_, n16), 2 * j)
+        groups[3][j] = _pk_rot_block(_pk_sub(m_, n16), 6 * j)
+        t8 = _pk_rot_block(t, 8)
+        groups[4][j] = _pk_rot_block(_pk_add(r, t8), j)
+        groups[5][j] = _pk_rot_block(_pk_sub(r, t8), 5 * j)
+        u24 = _pk_rot_block(u, 24)
+        groups[6][j] = _pk_rot_block(_pk_add(s_, u24), 3 * j)
+        groups[7][j] = _pk_rot_block(_pk_sub(s_, u24), 7 * j)
+    x = jnp.concatenate(
+        [g.reshape(1, stride, b) for grp in groups for g in grp],
+        axis=0).reshape(L * stride, b)
+
+    # tail pass: radix-8 over groups of 8 consecutive slices
+    # (h=4: step 8; h=2: step 16; h=1: trivial twiddle)
+    v = x.reshape(-1, 8, stride, b)
+    xs = [v[:, m].reshape(-1, b) for m in range(8)]
+    s = [_pk_add(xs[m], xs[m + 4]) for m in range(4)]
+    d = [_pk_rot_block(_pk_sub(xs[m], xs[m + 4]), 8 * m) for m in range(4)]
+    ss0 = _pk_add(s[0], s[2])
+    ss1 = _pk_add(s[1], s[3])
+    sd0 = _pk_sub(s[0], s[2])
+    sd1 = _pk_rot_block(_pk_sub(s[1], s[3]), 16)
+    ds0 = _pk_add(d[0], d[2])
+    ds1 = _pk_add(d[1], d[3])
+    dd0 = _pk_sub(d[0], d[2])
+    dd1 = _pk_rot_block(_pk_sub(d[1], d[3]), 16)
+    outs = [_pk_add(ss0, ss1), _pk_sub(ss0, ss1),
+            _pk_add(sd0, sd1), _pk_sub(sd0, sd1),
+            _pk_add(ds0, ds1), _pk_sub(ds0, ds1),
+            _pk_add(dd0, dd1), _pk_sub(dd0, dd1)]
+    return jnp.concatenate(
+        [o.reshape(-1, 1, stride, b) for o in outs],
+        axis=1).reshape(L * stride, b)
+
+
 def unpack_pairs(w):
     """Packed biased words -> (a, b) int32 values."""
     f_a = w & jnp.int32(0xFFFF)
@@ -366,6 +465,104 @@ def dit_inverse(x, stride):
     return s_plus + rot_block(s_minus, 1)
 
 
+def dit_inverse2(x, stride):
+    """Two-pass radix-8 DIT inverse + fold: merged stages (0, 1, 2) and
+    (3, 4, 5)+fold.  Bit-identical to ``dit_inverse`` (same exact i32
+    sums mod 2^32, reassociated), with two materializations of the array
+    instead of four.
+
+    :param x: (L*stride, b) int32 rows (t, [inner]), t bit-reversed.
+    :returns: (M*stride, b) int32.
+    """
+    nrows, b = x.shape
+
+    # pass 1: stages 0 (mmax=1, trivial twiddle), 1 (c=-16), 2 (c=-8)
+    v = x.reshape(-1, 8, stride, b)
+    a = [v[:, i].reshape(-1, b) for i in range(8)]
+    b0 = a[0] + a[1]
+    b1 = a[0] - a[1]
+    b2 = a[2] + a[3]
+    b3 = a[2] - a[3]
+    b4 = a[4] + a[5]
+    b5 = a[4] - a[5]
+    b6 = a[6] + a[7]
+    b7 = a[6] - a[7]
+    c0 = b0 + b2
+    c2 = b0 - b2
+    t = rot_block(b3, -16)
+    c1 = b1 + t
+    c3 = b1 - t
+    c4 = b4 + b6
+    c6 = b4 - b6
+    t = rot_block(b7, -16)
+    c5 = b5 + t
+    c7 = b5 - t
+    d0 = c0 + c4
+    d4 = c0 - c4
+    t = rot_block(c5, -8)
+    d1 = c1 + t
+    d5 = c1 - t
+    t = rot_block(c6, -16)
+    d2 = c2 + t
+    d6 = c2 - t
+    t = rot_block(c7, -24)
+    d3 = c3 + t
+    d7 = c3 - t
+    x = jnp.concatenate(
+        [d.reshape(-1, 1, stride, b) for d in
+         (d0, d1, d2, d3, d4, d5, d6, d7)], axis=1).reshape(nrows, b)
+
+    # pass 2: stages 3 (c=-4), 4 (c=-2), 5 (c=-1) and the fold
+    # C_q = P_q + Y P_{q+M}; slots q = zi*8 + j, twiddle index m = q mod mmax
+    v = x.reshape(8, 8, stride, b)
+    outs = [[None] * 8 for _ in range(4)]
+    for j in range(8):
+        w = [v[z, j] for z in range(8)]
+        t = rot_block(w[1], -4 * j)
+        e0 = w[0] + t
+        e1 = w[0] - t
+        t = rot_block(w[3], -4 * j)
+        e2 = w[2] + t
+        e3 = w[2] - t
+        t = rot_block(w[5], -4 * j)
+        e4 = w[4] + t
+        e5 = w[4] - t
+        t = rot_block(w[7], -4 * j)
+        e6 = w[6] + t
+        e7 = w[6] - t
+        t = rot_block(e2, -2 * j)
+        f0 = e0 + t
+        f2 = e0 - t
+        t = rot_block(e3, -2 * (j + 8))
+        f1 = e1 + t
+        f3 = e1 - t
+        t = rot_block(e6, -2 * j)
+        f4 = e4 + t
+        f6 = e4 - t
+        t = rot_block(e7, -2 * (j + 8))
+        f5 = e5 + t
+        f7 = e5 - t
+        t = rot_block(f4, -j)
+        g0 = f0 + t
+        g4 = f0 - t
+        t = rot_block(f5, -(j + 8))
+        g1 = f1 + t
+        g5 = f1 - t
+        t = rot_block(f6, -(j + 16))
+        g2 = f2 + t
+        g6 = f2 - t
+        t = rot_block(f7, -(j + 24))
+        g3 = f3 + t
+        g7 = f3 - t
+        outs[0][j] = g0 + rot_block(g4, 1)
+        outs[1][j] = g1 + rot_block(g5, 1)
+        outs[2][j] = g2 + rot_block(g6, 1)
+        outs[3][j] = g3 + rot_block(g7, 1)
+    return jnp.concatenate(
+        [o.reshape(1, stride, b) for grp in outs for o in grp],
+        axis=0).reshape(M * stride, b)
+
+
 def normalize_dual(lo, hi):
     carry = lo >> _LO_BITS
     lo_n = lo - (carry << _LO_BITS)
@@ -374,11 +571,33 @@ def normalize_dual(lo, hi):
             ).astype(jnp.int32)
 
 
+def packed_to_lhs(xt_pk, n_pk, mac_dtype):
+    """Packed forward-transform words -> MAC lhs (L, C, b): split the
+    balanced radix-2^8 limbs directly on the packed biased fields (one
+    packed add yields both limb bytes of both fields) and interleave to
+    the ``build_mac_rhs`` C-order (g = (pair, field), limb, u-lane) via
+    metadata-only reshapes."""
+    b = xt_pk.shape[-1]
+    stride = 2 * n_pk * R
+    u = xt_pk + jnp.int32(0x00800080)
+    sh = (L, n_pk, 1, 1, R, b)
+    ev_a0 = ((u & 0xFF) - jnp.int32(128)).reshape(sh)
+    od_a0 = (((u >> 16) & 0xFF) - jnp.int32(128)).reshape(sh)
+    ev_a1 = (((u >> 8) & 0xFF) - jnp.int32(64)).reshape(sh)
+    od_a1 = (((u >> 24) & 0xFF) - jnp.int32(64)).reshape(sh)
+    lhs = jnp.concatenate([
+        jnp.concatenate([ev_a0, ev_a1], axis=3),
+        jnp.concatenate([od_a0, od_a1], axis=3)], axis=2)
+    return lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
+
+
 def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
-                    axis_name=None, slot_axis_name=None, swar=True):
+                    axis_name=None, slot_axis_name=None, swar=True,
+                    packed=None, radix8=True):
     """sum_g digits_g * key_g, rows layout.
 
-    :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9.
+    :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9
+        (may be None when ``packed`` is given).
     :param rhs: (L_local, C_local, Q) int8 from ``transform.build_mac_rhs``
         (limb axes inside g-blocks on C; negacyclic signs baked in).
     :param axis_name: decomposition-limb tensor parallelism: rhs holds a
@@ -391,14 +610,18 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         ``axis_name``.
     :param swar: pack polynomial pairs two-per-int32 through the forward
         transform (bit-exact; halves the forward's VPU data volume).
+    :param packed: pre-packed digit pairs ((M*(g_total//2)*R, b) int32,
+        e.g. from ``decomp_pack2``) — skips the pack step entirely.
+    :param radix8: use the two-pass radix-8 forms of the forward/inverse
+        (bit-identical; fewer VMEM materializations).
     :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)).
     """
-    b = digits.shape[-1]
+    b = (digits if packed is None else packed).shape[-1]
     c_size, q_size = rhs.shape[-2], rhs.shape[-1]
     o_r = mask1 * R
     stride = g_total * R
 
-    if swar and g_total % 2 == 0:
+    if packed is not None or (swar and g_total % 2 == 0):
         # SWAR: forward-transform polynomial pairs packed two-per-word
         # (adjacent g's pair up: (2k, 2k+1) -> low/high 16-bit fields),
         # then split MAC limbs directly on the packed words:
@@ -408,21 +631,13 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         #   a1 = ((f + 128) >> 8) - 64
         # i.e. one packed add yields both limb bytes of both fields.
         n_pk = g_total // 2
-        dv = digits.reshape(M, n_pk, 2, R, b)
-        packed = pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
-            M * n_pk * R, b)
-        xt_pk = dif_forward_packed(packed, n_pk)
-        u = xt_pk + jnp.int32(0x00800080)
-        sh = (L, n_pk, 1, 1, R, b)
-        ev_a0 = ((u & 0xFF) - jnp.int32(128)).reshape(sh)
-        od_a0 = (((u >> 16) & 0xFF) - jnp.int32(128)).reshape(sh)
-        ev_a1 = (((u >> 8) & 0xFF) - jnp.int32(64)).reshape(sh)
-        od_a1 = (((u >> 24) & 0xFF) - jnp.int32(64)).reshape(sh)
-        # lhs C-order (g = (pair, field), limb, u-lane): metadata interleave
-        lhs = jnp.concatenate([
-            jnp.concatenate([ev_a0, ev_a1], axis=3),
-            jnp.concatenate([od_a0, od_a1], axis=3)], axis=2)
-        lhs = lhs.reshape(L, 2 * stride, b).astype(mac_dtype)
+        if packed is None:
+            dv = digits.reshape(M, n_pk, 2, R, b)
+            packed = pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
+                M * n_pk * R, b)
+        fwd = dif_forward_packed2 if radix8 else dif_forward_packed
+        xt_pk = fwd(packed, n_pk)
+        lhs = packed_to_lhs(xt_pk, n_pk, mac_dtype)
     else:
         xt = dif_forward(digits, g_total)    # (L*stride, b)
         a0 = ((xt + 128) & 255) - 128
@@ -450,11 +665,20 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
     else:
         lo3, hi3 = _mac_dot(lhs, rhs, mask1, mac_dtype)
 
+    return mac_out_to_delta(lo3, hi3, mask1, radix8=radix8)
+
+
+def mac_out_to_delta(lo3, hi3, mask1, radix8=True):
+    """Dual-channel MAC accumulators (L, mask1*R, b) -> acc-layout delta
+    (mask1*1024, b): DIT inverse + fold + dual-channel normalization."""
+    b = lo3.shape[-1]
+    o_r = mask1 * R
     # inverse input rows (t, ch, o, k)
     x = jnp.concatenate([
         lo3.reshape(L, 1, o_r, b), hi3.reshape(L, 1, o_r, b)], axis=1)
     x = x.reshape(L * 2 * o_r, b)
-    folded = dit_inverse(x, 2 * o_r)         # (M * 2*o_r, b) rows (j, ch, o, k)
+    inv = dit_inverse2 if radix8 else dit_inverse
+    folded = inv(x, 2 * o_r)                 # (M * 2*o_r, b) rows (j, ch, o, k)
     v = folded.reshape(M, 2, o_r, b)
     delta = normalize_dual(v[:, 0], v[:, 1]) # (M, o_r, b)
     return delta.reshape(mask1 * N, b)
@@ -475,7 +699,8 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
         preferred_element_type=mac_accum_dtype(mac_dtype))
     if out.dtype != jnp.int32:
         out = out.astype(jnp.int32)
-    # out: (L, Q, b); Q = s*o_r + o*R + k, 6 groups (group 5 true zeros)
+    # out: (L, Q, b); Q = s*o_r + o*R + k, 5 live shift groups
+    # (Q = SHIFT_GROUPS*mask1*R; weights 2^(8s) with 8s >= 38 never emitted)
     lo = None
     hi = None
     for s in range(5):
@@ -494,13 +719,22 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
                   mac_dtype=jnp.int8, axis_name=None,
-                  slot_axis_name=None):
+                  slot_axis_name=None, radix8=True):
     """One CMUX step in rows layout: ACC += BK (x) decomp((X^p - 1) ACC).
 
     :param acc: (mask1*1024, b) int32 rows (j, o, i).
     :param p: (1, b) int32 in [0, 2N).
     """
     rot = rotate_acc(acc, p, mask1, minus_one=True)
+    if axis_name is None and decomp_length == 2:
+        # l=2 fast path: decomposition + SWAR packing fused, elementwise
+        # on ``rot`` — the digits array is never materialized
+        packed = decomp_pack2(rot, mask1, log2_base, offset)
+        delta = transformed_mac(
+            None, rhs, mask1=mask1, g_total=mask1 * decomp_length,
+            mac_dtype=mac_dtype, slot_axis_name=slot_axis_name,
+            packed=packed, radix8=radix8)
+        return (acc + delta).astype(jnp.int32)
     digits = gadget_decomp(rot, mask1, decomp_length, log2_base, offset)
     if axis_name is not None:
         g_total = rhs.shape[-2] // (2 * R)
@@ -513,7 +747,7 @@ def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
         g_total = mask1 * decomp_length
     delta = transformed_mac(
         digits, rhs, mask1=mask1, g_total=g_total, mac_dtype=mac_dtype,
-        axis_name=axis_name, slot_axis_name=slot_axis_name)
+        axis_name=axis_name, slot_axis_name=slot_axis_name, radix8=radix8)
     return (acc + delta).astype(jnp.int32)
 
 

@@ -239,24 +239,31 @@ def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
 
 
 def negacyclic_mul_device(a, b_coeff):
-    """Standalone exact negacyclic product on device (tests/API parity).
+    """Standalone exact BATCHED negacyclic product on device (the facade
+    analogue of the reference's batched device transformed-domain ops,
+    ``nufhe/polynomial_transform_ntt.py:29-131``).
 
     a: (..., N) int32 small digits (|a| <= 2^9); b_coeff: (..., N) int32
-    arbitrary torus values (key side, transformed on host).
+    arbitrary torus values (key side, transformed on host).  The whole
+    batch runs through ONE native host forward call, ONE ``build_mac_rhs``
+    expansion and ONE vmapped device MAC program.
     """
     from . import flat_engine as fe
+    from .. import native
 
     a = jnp.asarray(a)
     lead = a.shape[:-1]
     af = a.reshape((-1, N))
     bf = np.asarray(b_coeff).reshape((-1, N))
-    outs = []
-    for i in range(af.shape[0]):
-        bh = tr.forward(bf[i])                       # (L, R) u64
-        limbs = key_limbs_host(bh)[None, None]       # (G=1, O=1, L, R, KL)
-        rhs = build_mac_rhs(jnp.asarray(limbs))      # (L, 2R, 6R)
-        sq = fe.q_from_n(af[i:i + 1])
+    bh = native.forward_u64(bf)                      # (B, L, R) u64
+    limbs = key_limbs_host(bh)[:, None, None]        # (B, G=1, O=1, L, R, KL, 2)
+    rhs = build_mac_rhs(jnp.asarray(limbs))          # (B, L, 2R, 5R)
+    sq = fe.q_from_n(af)                             # (B, N)
+
+    def one(sq_i, rhs_i):
         out = fe.transformed_mac_flat(
-            sq, rhs, mask1=1, g_total=1, mac_dtype=mac_dtype())
-        outs.append(fe.n_from_q(out)[0])
-    return jnp.stack(outs).reshape(lead + (N,))
+            sq_i[None], rhs_i, mask1=1, g_total=1, mac_dtype=mac_dtype())
+        return fe.n_from_q(out)[0]
+
+    out = jax.vmap(one)(sq, rhs)
+    return out.reshape(lead + (N,))

@@ -66,6 +66,13 @@ def make_global_mesh(n_model: int = 1, devices=None):
         raise ValueError(
             "device count %d is not divisible by n_model=%d"
             % (len(devices), n_model))
+    if n_local % n_model:
+        # with per-host counts not divisible by n_model, the fill below
+        # would make a model group silently span hosts (correct results,
+        # but its collectives would ride DCN instead of ICI)
+        raise ValueError(
+            "devices per host (%d) is not divisible by n_model=%d: a model "
+            "group must not span hosts" % (n_local, n_model))
     n_data = len(devices) // n_model
     arr = np.empty((n_data, n_model), dtype=object)
     # fill model-axis-fastest so each model group is host-local
@@ -104,12 +111,6 @@ def run_multiprocess_dryrun(nprocs: int = 2, local_devices: int = 4,
     import subprocess
     import sys
 
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    coord = "127.0.0.1:%d" % port
-
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -118,23 +119,44 @@ def run_multiprocess_dryrun(nprocs: int = 2, local_devices: int = 4,
         os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
-    procs = [subprocess.Popen(
-        [sys.executable, "-m", "nufhe_tpu.parallel._mp_worker",
-         coord, str(nprocs), str(i), str(local_devices)],
-        env=env, cwd=repo_root, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for i in range(nprocs)]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        if p.returncode != 0:
-            raise RuntimeError(
-                "mp_worker %d failed (rc %d):\n%s" % (i, p.returncode,
-                                                      out[-2000:]))
-    return [out.strip().splitlines()[-1] for out in outs]
+    def attempt():
+        # bind/close/reuse picks a free port; another process can grab it
+        # before the coordinator binds (TOCTOU), so the caller retries on
+        # bind failure instead of pretending the race cannot happen
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        coord = "127.0.0.1:%d" % port
+
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "nufhe_tpu.parallel._mp_worker",
+             coord, str(nprocs), str(i), str(local_devices)],
+            env=env, cwd=repo_root, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for i in range(nprocs)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=timeout)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    bind_markers = ("address already in use", "failed to bind", "bind ")
+    last_error = None
+    for _ in range(3):
+        procs, outs = attempt()
+        failed = [(i, p, out) for i, (p, out) in enumerate(zip(procs, outs))
+                  if p.returncode != 0]
+        if not failed:
+            return [out.strip().splitlines()[-1] for out in outs]
+        i, p, out = failed[0]
+        last_error = RuntimeError(
+            "mp_worker %d failed (rc %d):\n%s" % (i, p.returncode,
+                                                  out[-2000:]))
+        if not any(m in out.lower() for m in bind_markers):
+            raise last_error
+    raise last_error

@@ -54,7 +54,8 @@ class PerformanceParameters:
     def __init__(self, nufhe_params=None,
                  single_kernel_bootstrap=None,
                  batch_tile=None,
-                 vmem_mb=None):
+                 vmem_mb=None,
+                 chunk_steps=None):
         """
         :param single_kernel_bootstrap: use the fused Pallas blind-rotate
             kernel (``None`` = auto: enabled on TPU when supported).
@@ -62,24 +63,32 @@ class PerformanceParameters:
             (``None`` = auto from the device's VMEM capacity).
         :param vmem_mb: scoped-VMEM capacity override in MB (``None`` =
             resolve from the device kind).
+        :param chunk_steps: CMUX steps fused into one multi-step Pallas
+            launch (VMEM-revisited accumulator; key rows stream under
+            prefetch double-buffering).  ``None`` = resolve from the
+            ``NUFHE_TPU_CHUNK_STEPS`` env var, defaulting to per-step
+            launches (measured speed-equal on v5e at ~2x the cold Mosaic
+            compile time, so 1 is the default).
         """
         self.nufhe_params = nufhe_params
         self.single_kernel_bootstrap = single_kernel_bootstrap
         self.batch_tile = batch_tile
         self.vmem_mb = vmem_mb
+        self.chunk_steps = chunk_steps
 
     def for_device(self, device=None):
         return PerformanceParametersForDevice(self, device)
 
     def __hash__(self):
         return hash((self.__class__, self.single_kernel_bootstrap,
-                     self.batch_tile, self.vmem_mb))
+                     self.batch_tile, self.vmem_mb, self.chunk_steps))
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
                 and self.single_kernel_bootstrap == other.single_kernel_bootstrap
                 and self.batch_tile == other.batch_tile
-                and self.vmem_mb == other.vmem_mb)
+                and self.vmem_mb == other.vmem_mb
+                and self.chunk_steps == other.chunk_steps)
 
 
 class PerformanceParametersForDevice:
@@ -98,6 +107,10 @@ class PerformanceParametersForDevice:
             skb = on_tpu  # fused Pallas step kernel (rows engine)
         self.single_kernel_bootstrap = skb
         self.batch_tile = perf_params.batch_tile
+        chunk = perf_params.chunk_steps
+        if chunk is None:
+            chunk = int(os.environ.get("NUFHE_TPU_CHUNK_STEPS", "1"))
+        self.chunk_steps = max(1, int(chunk))
         self.platform = platform
         self.device_kind = getattr(device, "device_kind", "")
         vmem = perf_params.vmem_mb
@@ -107,11 +120,13 @@ class PerformanceParametersForDevice:
 
     def __hash__(self):
         return hash((self.__class__, self.single_kernel_bootstrap,
-                     self.batch_tile, self.platform, self.vmem_limit_mb))
+                     self.batch_tile, self.platform, self.vmem_limit_mb,
+                     self.chunk_steps))
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
                 and self.single_kernel_bootstrap == other.single_kernel_bootstrap
                 and self.batch_tile == other.batch_tile
                 and self.platform == other.platform
-                and self.vmem_limit_mb == other.vmem_limit_mb)
+                and self.vmem_limit_mb == other.vmem_limit_mb
+                and self.chunk_steps == other.chunk_steps)

@@ -60,11 +60,14 @@ class SecureRNG:
         return np.frombuffer(urandom(nbytes), Int32).reshape(shape).copy()
 
     def _open_unit_interval(self, count):
-        """``count`` doubles strictly inside (0, 1): a raw 64-bit draw k is
-        mapped to the midpoint (k + 1/2) / 2^64 of its dyadic cell, so 0 and
-        1 are unreachable and log() below is always finite."""
+        """``count`` doubles strictly inside (0, 1): a raw draw k of 53 bits
+        is mapped to the midpoint (k + 1/2) / 2^53 of its dyadic cell, so 0
+        and 1 are unreachable and log() below is always finite.  The low 11
+        bits of the 64-bit draw are discarded so the conversion is exact in
+        float64 (a full 64-bit value would round, and values >= 2^64 - 2^10
+        would round up to 2^64, absorbing the midpoint and producing 1.0)."""
         raw = np.frombuffer(urandom(count * 8), np.uint64)
-        return (raw.astype(np.float64) + 0.5) * 2.0 ** -64
+        return ((raw >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
 
     def gauss(self, shape, std_dev):
         # Box-Muller: each pair of unit uniforms yields an (amplitude,

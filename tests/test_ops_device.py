@@ -184,3 +184,19 @@ def test_polynomial_transform_device_facade(rng):
     want_prod = np.stack([
         tr.schoolbook_negacyclic(small[i], b[i]) for i in range(2)])
     assert np.array_equal(prod, want_prod)
+
+
+def test_negacyclic_mul_device_batched(rng):
+    """The facade product is batched (one native forward + one rhs build +
+    one vmapped MAC program for the whole batch), including leading dims."""
+    from nufhe_tpu.ops import transform as dt
+    from nufhe_tpu.ref import transform_ref as tr
+
+    small = rng.randint(-512, 512, (3, 4, 1024)).astype(np.int32)
+    b = rng.randint(-2**31, 2**31, (3, 4, 1024)).astype(np.int32)
+    prod = np.asarray(dt.negacyclic_mul_device(jnp.asarray(small), b))
+    assert prod.shape == (3, 4, 1024)
+    flat_s, flat_b = small.reshape(-1, 1024), b.reshape(-1, 1024)
+    want = np.stack([tr.schoolbook_negacyclic(flat_s[i], flat_b[i])
+                     for i in range(flat_s.shape[0])]).reshape(3, 4, 1024)
+    assert np.array_equal(prod, want)

@@ -8,6 +8,8 @@ scalar D2H, subtracting the separately-measured sync round-trip.
 Usage:
     python tools/microbench.py step [batch] [lane_tile]   # fused CMUX step
     python tools/microbench.py parts [batch]              # step components
+    python tools/microbench.py keyswitch [batch]          # keyswitch share
+    python tools/microbench.py rotation [batch] [lt]      # chunked launches
 """
 
 import os
@@ -193,6 +195,39 @@ def bench_parts(batch):
         print(f"{nm:16s}: {t*1000:8.3f} ms")
 
 
+def bench_keyswitch(batch):
+    """Keyswitch share of a gate: the (base-1) x KS_LIMBS einsum fan-out
+    (``ops/lwe.lwe_keyswitch``) at gate batch size, against the ~500-step
+    blind rotation it follows."""
+    from nufhe_tpu.params import NuFHEParameters
+    from nufhe_tpu.ops import lwe as dlwe
+
+    params = NuFHEParameters()
+    inp = params.tgsw_params.tlwe_params.extracted_lweparams.size
+    out = params.in_out_params.size
+    dl, l2b = params.ks_decomp_length, params.ks_log2_base
+    base = 2 ** l2b
+    rs = np.random.RandomState(0)
+    ks_a = rs.randint(-2**31, 2**31, (inp, dl, base, out)).astype(np.int32)
+    ks_b = rs.randint(-2**31, 2**31, (inp, dl, base)).astype(np.int32)
+    ks_cv = np.full((inp, dl, base), 1e-10, np.float64)
+    arrays, meta = dlwe.prepare_keyswitch_device(ks_a, ks_b, ks_cv, l2b)
+    a = jnp.asarray(rs.randint(-2**31, 2**31, (batch, inp)).astype(np.int32))
+    b = jnp.asarray(rs.randint(-2**31, 2**31, (batch,)).astype(np.int32))
+
+    @jax.jit
+    def f(x):
+        ra, rb, rcv = dlwe.lwe_keyswitch(arrays, meta, x, b)
+        # fold the (smaller) output back into the input shape so the
+        # chained-timing harness can feed the result into the next call
+        return x.at[:, :ra.shape[-1]].add(ra)
+
+    t = timed_chain(f, a)
+    print(f"keyswitch B={batch}: {t*1000:.3f} ms "
+          f"({t/batch*1e6:.3f} us/bit; a 0.06 ms/bit gate call at this "
+          f"batch is {0.06*batch:.0f} ms)")
+
+
 def bench_rotation(batch, lane_tile, n_steps=100):
     """Per-step launches vs chunked multi-step launches, full rotation."""
     from nufhe_tpu.ops import transform as dt
@@ -253,6 +288,8 @@ if __name__ == "__main__":
         bench_rotation(b, lt)
     elif mode == "parts":
         bench_parts(b)
+    elif mode == "keyswitch":
+        bench_keyswitch(b)
     else:
         lt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
         bench_step(b, lt)
