@@ -41,6 +41,12 @@ def main():
     import jax
     import nufhe_tpu as nf
 
+    if os.environ.get("NUFHE_BENCH_CACHE_DEBUG"):
+        # surface persistent-compilation-cache read/write activity (and
+        # silent write failures) on stderr
+        jax.config.update("jax_debug_log_modules",
+                          "jax._src.compilation_cache")
+
     batch = int(os.environ.get("NUFHE_BENCH_BATCH", 16384))
     runs = int(os.environ.get("NUFHE_BENCH_RUNS", 3))
     inner = int(os.environ.get("NUFHE_BENCH_INNER", 4))

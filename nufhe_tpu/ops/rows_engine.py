@@ -44,6 +44,9 @@ L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT
 _LO_BITS = 19
+# live output groups in the MAC Q axis (weights 2^(8s) with 8s < 38; see
+# transform.build_mac_rhs)
+SHIFT_GROUPS = 5
 
 
 def _mask(x, *expr):
@@ -563,6 +566,135 @@ def dit_inverse2(x, stride):
         axis=0).reshape(M * stride, b)
 
 
+def _combine_groups(ps_slices):
+    """Shift-group combine: 5 int32 group outputs (weight 2^(8s)) -> the
+    lazily-carried dual-channel (lo, hi) mod-2^38 accumulators."""
+    lo = None
+    hi = None
+    for s, ps in enumerate(ps_slices):
+        shift = 8 * s
+        if shift < _LO_BITS:
+            rem = _LO_BITS - shift
+            hi_c = ps >> rem
+            lo_c = (ps & ((1 << rem) - 1)) << shift
+            lo = lo_c if lo is None else lo + lo_c
+        else:
+            hi_c = ps << (shift - _LO_BITS)
+        hi = hi_c if hi is None else hi + hi_c
+    return lo, hi
+
+
+def dot_out_to_delta(out, mask1):
+    """Raw MAC dot output (L, Q, b) -> acc-layout delta (mask1*1024, b).
+
+    Same mathematics as ``_combine_groups`` + ``dit_inverse2`` + fold +
+    ``normalize_dual``, but the group combine is fused into the first
+    inverse pass (computed per slot-slice as it is read) and the
+    normalization into the second (emitted per fold output) — neither the
+    dual-channel array nor the folded array is ever materialized.
+    """
+    b = out.shape[-1]
+    o_r = mask1 * R
+    stride = 2 * o_r
+    q = out.shape[-2]
+
+    v0 = out.reshape(8, 8, q, b)
+
+    def combine(i):
+        # slots {i, 8+i, ..., 56+i} -> (8*stride, b) rows (slot, ch, o, k)
+        o_sl = v0[:, i]
+        lo, hi = _combine_groups(
+            [jax.lax.slice_in_dim(o_sl, s * o_r, (s + 1) * o_r, axis=1)
+             for s in range(SHIFT_GROUPS)])
+        x = jnp.concatenate(
+            [lo.reshape(8, 1, o_r, b), hi.reshape(8, 1, o_r, b)], axis=1)
+        return x.reshape(8 * stride, b)
+
+    # pass 1: stages 0, 1, 2 (combine fused into the slot-slice reads)
+    a = [combine(i) for i in range(8)]
+    b0 = a[0] + a[1]
+    b1 = a[0] - a[1]
+    b2 = a[2] + a[3]
+    b3 = a[2] - a[3]
+    b4 = a[4] + a[5]
+    b5 = a[4] - a[5]
+    b6 = a[6] + a[7]
+    b7 = a[6] - a[7]
+    c0 = b0 + b2
+    c2 = b0 - b2
+    t = rot_block(b3, -16)
+    c1 = b1 + t
+    c3 = b1 - t
+    c4 = b4 + b6
+    c6 = b4 - b6
+    t = rot_block(b7, -16)
+    c5 = b5 + t
+    c7 = b5 - t
+    d0 = c0 + c4
+    d4 = c0 - c4
+    t = rot_block(c5, -8)
+    d1 = c1 + t
+    d5 = c1 - t
+    t = rot_block(c6, -16)
+    d2 = c2 + t
+    d6 = c2 - t
+    t = rot_block(c7, -24)
+    d3 = c3 + t
+    d7 = c3 - t
+    x = jnp.concatenate(
+        [d.reshape(-1, 1, stride, b) for d in
+         (d0, d1, d2, d3, d4, d5, d6, d7)], axis=1).reshape(L * stride, b)
+
+    # pass 2: stages 3, 4, 5 + fold, normalization fused into the outputs
+    v = x.reshape(8, 8, stride, b)
+    outs = [[None] * 8 for _ in range(4)]
+    for j in range(8):
+        w = [v[z, j] for z in range(8)]
+        t = rot_block(w[1], -4 * j)
+        e0 = w[0] + t
+        e1 = w[0] - t
+        t = rot_block(w[3], -4 * j)
+        e2 = w[2] + t
+        e3 = w[2] - t
+        t = rot_block(w[5], -4 * j)
+        e4 = w[4] + t
+        e5 = w[4] - t
+        t = rot_block(w[7], -4 * j)
+        e6 = w[6] + t
+        e7 = w[6] - t
+        t = rot_block(e2, -2 * j)
+        f0 = e0 + t
+        f2 = e0 - t
+        t = rot_block(e3, -2 * (j + 8))
+        f1 = e1 + t
+        f3 = e1 - t
+        t = rot_block(e6, -2 * j)
+        f4 = e4 + t
+        f6 = e4 - t
+        t = rot_block(e7, -2 * (j + 8))
+        f5 = e5 + t
+        f7 = e5 - t
+        t = rot_block(f4, -j)
+        g0 = f0 + t
+        g4 = f0 - t
+        t = rot_block(f5, -(j + 8))
+        g1 = f1 + t
+        g5 = f1 - t
+        t = rot_block(f6, -(j + 16))
+        g2 = f2 + t
+        g6 = f2 - t
+        t = rot_block(f7, -(j + 24))
+        g3 = f3 + t
+        g7 = f3 - t
+        for zi, (ga, gb) in enumerate(((g0, g4), (g1, g5),
+                                       (g2, g6), (g3, g7))):
+            c = ga + rot_block(gb, 1)        # fold: (2, o_r, b) rows (ch,o,k)
+            outs[zi][j] = normalize_dual(c[:o_r], c[o_r:])
+    return jnp.concatenate(
+        [o.reshape(1, o_r, b) for grp in outs for o in grp],
+        axis=0).reshape(mask1 * N, b)
+
+
 def normalize_dual(lo, hi):
     carry = lo >> _LO_BITS
     lo_n = lo - (carry << _LO_BITS)
@@ -663,7 +795,15 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         lo_hi = _mac_dot(lhs, rhs, mask1, mac_dtype)
         lo3, hi3 = jax.lax.psum(lo_hi, axis_name)
     else:
-        lo3, hi3 = _mac_dot(lhs, rhs, mask1, mac_dtype)
+        out = _mac_dot_raw(lhs, rhs, mac_dtype)
+        if radix8:
+            # fused path: group combine rides the first inverse pass,
+            # normalization the second — no dual-channel materialization
+            return dot_out_to_delta(out, mask1)
+        o_r_ = mask1 * R
+        lo3, hi3 = _combine_groups(
+            [jax.lax.slice_in_dim(out, s * o_r_, (s + 1) * o_r_, axis=1)
+             for s in range(SHIFT_GROUPS)])
 
     return mac_out_to_delta(lo3, hi3, mask1, radix8=radix8)
 
@@ -684,14 +824,15 @@ def mac_out_to_delta(lo3, hi3, mask1, radix8=True):
     return delta.reshape(mask1 * N, b)
 
 
-def _mac_dot(lhs, rhs, mask1, mac_dtype):
-    """(L, C, b) x (L, C, Q) -> dual-channel (L, mask1*R, b) accumulators.
+def _mac_dot_raw(lhs, rhs, mac_dtype):
+    """(L, C, b) x (L, C, Q) -> (L, Q, b) int32 MAC dot output.
 
     The rhs carries the negacyclic signs baked in (``build_mac_rhs``), so
     this is a direct dot: int8 x int8 -> int32 on the TPU MXU (exact:
     |products| <= 2^14, 256-term sums <= 2^22), f32 x f32 -> f32 elsewhere.
+    out rows: Q = s*o_r + o*R + k, 5 live shift groups
+    (Q = SHIFT_GROUPS*mask1*R; weights 2^(8s) with 8s >= 38 never emitted).
     """
-    o_r = mask1 * R
     from .transform import mac_accum_dtype
     out = jax.lax.dot_general(
         rhs.astype(mac_dtype), lhs,
@@ -699,22 +840,16 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
         preferred_element_type=mac_accum_dtype(mac_dtype))
     if out.dtype != jnp.int32:
         out = out.astype(jnp.int32)
-    # out: (L, Q, b); Q = s*o_r + o*R + k, 5 live shift groups
-    # (Q = SHIFT_GROUPS*mask1*R; weights 2^(8s) with 8s >= 38 never emitted)
-    lo = None
-    hi = None
-    for s in range(5):
-        ps = jax.lax.slice_in_dim(out, s * o_r, (s + 1) * o_r, axis=1)
-        shift = 8 * s
-        if shift < _LO_BITS:
-            rem = _LO_BITS - shift
-            hi_c = ps >> rem
-            lo_c = (ps & ((1 << rem) - 1)) << shift
-            lo = lo_c if lo is None else lo + lo_c
-        else:
-            hi_c = ps << (shift - _LO_BITS)
-        hi = hi_c if hi is None else hi + hi_c
-    return lo, hi
+    return out
+
+
+def _mac_dot(lhs, rhs, mask1, mac_dtype):
+    """MAC dot + shift-group combine -> dual-channel (L, mask1*R, b)."""
+    o_r = mask1 * R
+    out = _mac_dot_raw(lhs, rhs, mac_dtype)
+    return _combine_groups(
+        [jax.lax.slice_in_dim(out, s * o_r, (s + 1) * o_r, axis=1)
+         for s in range(SHIFT_GROUPS)])
 
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,

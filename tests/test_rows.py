@@ -92,3 +92,53 @@ def test_swar_limb_split_at_extreme_forward_values(rng):
         mac_dtype=jnp.float32)
     got = np.asarray(re_.acc_n_from_rows(acc_rows + delta, mask1))
     assert np.array_equal(got, want)
+
+
+def test_radix8_two_pass_forms_bit_identical(rng):
+    """The two-pass radix-8 forward/inverse and the fused decomp+pack are
+    pure reassociations: bit-identical to the staged radix-4 forms."""
+    b = 24
+    n_pk = 2
+    dig = rng.randint(-512, 512, (re_.M * 2 * n_pk * re_.R, b)).astype(np.int32)
+    dv = dig.reshape(re_.M, n_pk, 2, re_.R, b)
+    packed = re_.pack_pairs(
+        jnp.asarray(dv[:, :, 0]), jnp.asarray(dv[:, :, 1])).reshape(
+        re_.M * n_pk * re_.R, b)
+    assert np.array_equal(
+        np.asarray(re_.dif_forward_packed(packed, n_pk)),
+        np.asarray(re_.dif_forward_packed2(packed, n_pk)))
+
+    stride = 128
+    x = rng.randint(-2**31, 2**31, (re_.L * stride, b)).astype(np.int32)
+    assert np.array_equal(
+        np.asarray(re_.dit_inverse(jnp.asarray(x), stride)),
+        np.asarray(re_.dit_inverse2(jnp.asarray(x), stride)))
+
+
+def test_decomp_pack2_and_fused_delta_path(rng):
+    """decomp_pack2 == gadget_decomp + pack_pairs (l=2), and the fused
+    dot_out_to_delta external step == the staged radix-4 step."""
+    params = NuFHEParameters()
+    tp = params.tgsw_params
+    b = 16
+    rot = rng.randint(-2**31, 2**31, (2 * re_.N, b)).astype(np.int32)
+    dig = re_.gadget_decomp(jnp.asarray(rot), 2, tp.decomp_length,
+                            tp.bs_log2_base, int(tp.offset))
+    dv = np.asarray(dig).reshape(re_.M, 2, 2, re_.R, b)
+    want = np.asarray(re_.pack_pairs(
+        jnp.asarray(dv[:, :, 0]), jnp.asarray(dv[:, :, 1]))).reshape(
+        2 * re_.N, b)
+    got = np.asarray(re_.decomp_pack2(
+        jnp.asarray(rot), 2, tp.bs_log2_base, int(tp.offset)))
+    assert np.array_equal(got, want)
+
+    acc = jnp.asarray(rng.randint(-2**31, 2**31, (2048, b)).astype(np.int32))
+    p = jnp.asarray(rng.randint(0, 2048, (1, b)).astype(np.int32))
+    rhs = jnp.asarray(rng.randint(
+        -128, 128, (re_.L, 2 * 4 * re_.R, 5 * 2 * re_.R)).astype(np.int8))
+    kw = dict(mask1=2, decomp_length=tp.decomp_length,
+              log2_base=tp.bs_log2_base, offset=int(tp.offset),
+              mac_dtype=jnp.float32)
+    assert np.array_equal(
+        np.asarray(re_.external_step(acc, p, rhs, **kw)),
+        np.asarray(re_.external_step(acc, p, rhs, radix8=False, **kw)))

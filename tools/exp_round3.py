@@ -75,9 +75,21 @@ def run(batch, lane_tile):
                                  radix8=False)
 
     def v2(a, p, r):
+        # radix-8 two-pass transforms, but combine/normalize still as
+        # separate materialized steps (isolates the v3 fusion's effect)
+        rot = re_.rotate_acc(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        xt_pk = re_.dif_forward_packed2(packed, mask1)
+        lhs = re_.packed_to_lhs(xt_pk, mask1, mac)
+        lo3, hi3 = re_._mac_dot(lhs, r, mask1, mac)
+        delta = re_.mac_out_to_delta(lo3, hi3, mask1, radix8=True)
+        return (a + delta).astype(jnp.int32)
+
+    def v3(a, p, r):
+        # same as v2 plus the dot_out_to_delta fusion (combine rides the
+        # first inverse pass, normalize the second) — the current default
         return re_.external_step(a, p, r, mask1=mask1, decomp_length=dl,
-                                 log2_base=l2b, offset=off, mac_dtype=mac,
-                                 radix8=True)
+                                 log2_base=l2b, offset=off, mac_dtype=mac)
 
     def front(a, p):
         rot = re_.rotate_acc(a, p, mask1, minus_one=True)
@@ -85,8 +97,8 @@ def run(batch, lane_tile):
         xt_pk = re_.dif_forward_packed2(packed, mask1)
         return re_.packed_to_lhs(xt_pk, mask1, mac)
 
-    def back(lo3, hi3, a):
-        delta = re_.mac_out_to_delta(lo3, hi3, mask1, radix8=True)
+    def back(dot_out, a):
+        delta = re_.dot_out_to_delta(dot_out, mask1)
         return (a + delta).astype(jnp.int32)
 
     def make_pipe(n_parts):
@@ -101,16 +113,32 @@ def run(batch, lane_tile):
             outs = [None] * n_parts
             lhs[0] = front(parts_a[0], parts_p[0])
             for i in range(n_parts):
-                dots[i] = re_._mac_dot(lhs[i], r, mask1, mac)
+                dots[i] = re_._mac_dot_raw(lhs[i], r, mac)
                 if i + 1 < n_parts:
                     lhs[i + 1] = front(parts_a[i + 1], parts_p[i + 1])
-                outs[i] = back(dots[i][0], dots[i][1], parts_a[i])
+                outs[i] = back(dots[i], parts_a[i])
             return jnp.concatenate(outs, axis=-1)
         return body
 
+    def pipe2b(a, p, r):
+        # both dots issued before either back: windows (dotA || frontB)
+        # and (dotB || backA)
+        h = a.shape[-1] // 2
+        a0, a1 = a[:, :h], a[:, h:]
+        p0, p1 = p[:, :h], p[:, h:]
+        lhs0 = front(a0, p0)
+        dot0 = re_._mac_dot_raw(lhs0, r, mac)
+        lhs1 = front(a1, p1)
+        dot1 = re_._mac_dot_raw(lhs1, r, mac)
+        out0 = back(dot0, a0)
+        out1 = back(dot1, a1)
+        return jnp.concatenate([out0, out1], axis=-1)
+
     variants = [("v0 r2-baseline", v0), ("v1 +fused pack", v1),
                 ("v2 +radix8 2-pass", v2),
+                ("v3 +fused comb/norm", v3),
                 ("p2 pipeline halves", make_pipe(2)),
+                ("p2b dots-early", pipe2b),
                 ("p4 pipeline quarters", make_pipe(4))]
 
     print(f"batch={batch} lane_tile={lane_tile} "
