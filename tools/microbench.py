@@ -244,15 +244,18 @@ def bench_rotation(batch, lane_tile, n_steps=100):
     step = pbr.make_external_step_rows(
         *args, lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
 
-    def per_step(a):
+    # bk/bara ride as ARGUMENTS (closed-over arrays would be embedded as
+    # HLO constants — a 0.5 GB program body the remote compiler rejects)
+    @jax.jit
+    def per_step(a, bk_, bara_):
         def body(i, a_):
-            p = jax.lax.dynamic_index_in_dim(bara_t, i, 0, keepdims=True)
-            r = jax.lax.dynamic_index_in_dim(bk, i, 0, keepdims=False)
+            p = jax.lax.dynamic_index_in_dim(bara_, i, 0, keepdims=True)
+            r = jax.lax.dynamic_index_in_dim(bk_, i, 0, keepdims=False)
             return step(a_, p, r)
         return jax.lax.fori_loop(0, n_steps, body, a)
 
     results = {}
-    f = jax.jit(per_step)
+    f = lambda a: per_step(a, bk, bara_t)  # noqa: E731
     t = timed_chain(f, acc, iters=3, inner=2)
     results['per-step'] = t
     print(f"per-step   x{n_steps}: {t*1e3:9.2f} ms "
@@ -265,12 +268,13 @@ def bench_rotation(batch, lane_tile, n_steps=100):
         rot = pbr.make_blind_rotate_chunk(
             *args, chunk, lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
 
-        def chunked(a, rot=rot, chunk=chunk):
+        @jax.jit
+        def chunked(a, bk_, bara_, rot=rot, chunk=chunk):
             def body(i, a_):
-                return rot(a_, bara3, bk, i * chunk)
+                return rot(a_, bara_, bk_, i * chunk)
             return jax.lax.fori_loop(0, n_steps // chunk, body, a)
 
-        fc = jax.jit(chunked)
+        fc = lambda a: chunked(a, bk, bara3)  # noqa: E731
         # correctness vs per-step
         same = bool(np.array_equal(np.asarray(f(acc)), np.asarray(fc(acc))))
         t = timed_chain(fc, acc, iters=3, inner=2)
