@@ -1,5 +1,5 @@
 // Native host-side keygen numerics: exact Nussbaumer forward transform over
-// Z/2^64 + balanced radix-2^8 limb split (mod 2^38).
+// Z/2^64 + A/B limb split (mod 2^38; vlo + 4 radix-2^8 vhi digits).
 //
 // This is the hot host path of bootstrap/keyswitch key preparation
 // (ref: nufhe's host keygen feeding GPU buffers; here it feeds
@@ -95,10 +95,16 @@ void nussbaumer_forward_u64(const int32_t* in, uint64_t* out, long n_polys) {
 
 namespace {
 
-// balanced radix-2^8 split of a centered mod-2^38 value; digits in
-// [-128, 127], out stride 2 (interleaved with the other side's split)
+// A/B split of a centered mod-2^38 value (see ops/transform.py
+// _limb_split_38): limb 0 is vlo = balanced(v mod 64) in [-32, 31];
+// limbs 1..4 are balanced radix-2^8 digits of vhi = (v - vlo) >> 6,
+// valid mod 2^32 (the top digit is truncated — the A channel wraps
+// freely).  Out stride 2 (interleaved with the other side's split).
 inline void split_one(int64_t v, int8_t* o) {
-    for (int j = 0; j < 5; ++j) {
+    int64_t vlo = ((v + 32) & 63) - 32;
+    o[0] = (int8_t)vlo;
+    v = (v - vlo) >> 6;
+    for (int j = 1; j < 5; ++j) {
         int64_t l0 = ((v + 128) & 255) - 128;
         o[j * 2] = (int8_t)l0;
         v = (v - l0) >> 8;
@@ -112,8 +118,8 @@ inline int64_t center38(uint64_t r) {
 
 }  // namespace
 
-// residues mod 2^64 -> two-sided 5-limb balanced radix-2^8 splits of the
-// mod-2^38 value: limbs of +v and of (-v mod 2^38).  Storing both plain
+// residues mod 2^64 -> two-sided 5-limb A/B splits of the mod-2^38
+// value: limbs of +v and of (-v mod 2^38).  Storing both plain
 // decompositions lets the device bake the negacyclic signs into the int8
 // MAC rhs without ever negating a limb (-128 has no int8 negation).
 // in:  (count,) uint64;  out: (count, 5, 2) int8

@@ -161,16 +161,22 @@ class BootstrapKey:
     def dump(self, file_obj):
         serialization.dump(
             file_obj,
-            {"kind": "BootstrapKey", "format": 2},
+            {"kind": "BootstrapKey", "format": 3},
             {"limbs": self.limbs(), "cv": self.cv})
 
     @classmethod
     def load(cls, file_obj, in_out_params, bk_params):
         meta, arrays = serialization.load(file_obj)
         assert meta["kind"] == "BootstrapKey"
-        if "limbs" in arrays:        # format 2: device-ready transformed key
+        if "limbs" in arrays:        # format 2/3: device-ready transformed key
+            limbs = arrays["limbs"]
+            if meta.get("format", 2) < 3:
+                # format 2 stored plain balanced radix-2^8 limbs; the
+                # current engine consumes the A/B split (lossless re-split)
+                from .ops import transform as dtransform
+                limbs = dtransform.relimb_from_radix8(limbs)
             return cls(in_out_params, bk_params, None, arrays["cv"],
-                       limbs=arrays["limbs"])
+                       limbs=limbs)
         # format 1 (round-1 files): coefficient domain
         return cls(in_out_params, bk_params, arrays["bk_coeff"], arrays["cv"])
 

@@ -41,8 +41,7 @@ R = tr.R
 L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT
-_LO_BITS = 19
-SHIFT_GROUPS_PAD = 5     # MAC output shift groups (all live; Q = 320)
+SHIFT_GROUPS_PAD = 5     # MAC output groups [B, A0..A3] (all live; Q = 320)
 
 
 def _lane(x):
@@ -187,13 +186,11 @@ def dit_inverse_q(x, n_poly=1):
     return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
 
-def normalize_dual(lo, hi):
-    """Dual-channel mod-2^38 -> exact (V >> 6) mod 2^32 (elementwise)."""
-    carry = lo >> _LO_BITS
-    lo_n = lo - (carry << _LO_BITS)
-    hi_n = (hi + carry) & ((1 << _LO_BITS) - 1)
-    return ((lo_n >> INV_SHIFT) | (hi_n << (_LO_BITS - INV_SHIFT))
-            ).astype(jnp.int32)
+def normalize_dual(a, b_):
+    """(A, B) inverse outputs -> exact c = A + (B >> 6) mod 2^32.
+    B is divisible by 2^6 over Z (B = 64c - 2^6*A), so the arithmetic
+    shift is exact division; A's i32 wraparound is mod-2^32 by design."""
+    return (a + (b_ >> INV_SHIFT)).astype(jnp.int32)
 
 
 def gadget_decomp_flat(rot, mask1, decomp_length, log2_base, offset):
@@ -275,19 +272,10 @@ def transformed_mac_flat(digits, rhs_row, *, mask1, g_total,
             lhs_t, rhs_t, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=mac_accum_dtype(mac_dtype)
             ).astype(jnp.int32)
-        lo_t = None
-        hi_t = None
-        for s in range(5):
-            ps = out_t[..., s * o_r:(s + 1) * o_r]
-            shift = 8 * s
-            if shift < _LO_BITS:
-                rem = _LO_BITS - shift
-                hi_c = ps >> rem
-                lo_c = (ps & ((1 << rem) - 1)) << shift
-                lo_t = lo_c if lo_t is None else lo_t + lo_c
-            else:
-                hi_c = ps << (shift - _LO_BITS)
-            hi_t = hi_c if hi_t is None else hi_t + hi_c
+        # groups [B, A0, A1, A2, A3] -> (A, B): A wraps freely mod 2^32
+        ps = [out_t[..., s * o_r:(s + 1) * o_r] for s in range(5)]
+        lo_t = (ps[1] + (ps[2] << 8)) + ((ps[3] << 16) + (ps[4] << 24))
+        hi_t = ps[0]
         for o in range(mask1):
             lo_parts[o].append(lo_t[..., o * R:(o + 1) * R])
             hi_parts[o].append(hi_t[..., o * R:(o + 1) * R])

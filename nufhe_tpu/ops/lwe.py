@@ -72,6 +72,11 @@ def lwe_noiseless_trivial(mus, lwe_size: int):
 
 # --- keyswitch ---
 
+# module-level so repeated key preparations (fresh keygen + serialized
+# load in one process) reuse one trace cache instead of recompiling
+_to_bf16 = jax.jit(lambda x: x.astype(jnp.bfloat16))
+
+
 def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
     """Host->device preparation of the keyswitch key for the MXU path.
 
@@ -104,8 +109,7 @@ def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
     # upload the compact int8 form (the host->device link is slow) and
     # convert to bf16 on device
     arrays = dict(
-        ab_limbs=jax.jit(lambda x: x.astype(jnp.bfloat16))(
-            jnp.asarray(padded)),
+        ab_limbs=_to_bf16(jnp.asarray(padded)),
         cv=jnp.asarray(cv),
     )
     meta = KeyswitchMeta(

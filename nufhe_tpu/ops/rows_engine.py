@@ -20,10 +20,10 @@ Data layouts (rows x batch-lanes), all row strides multiples of 8:
                             DIF bit-reversed order, matching the key)
   MAC lhs (L, C, b):       C = limb*(G*32) + g*32 + u  [metadata reshape]
   MAC out (L, Q, b):       Q = s*(mask1*32) + o*32 + k
-  inverse (L*128, b):      row = t*128 + ch*64 + o*32 + k  (ch = lo/hi)
+  inverse (L*128, b):      row = t*128 + ch*64 + o*32 + k  (ch = A/B)
 
 The mathematics is identical to ``ops/flat_engine`` (same DIF/DIT, same
-dual-channel mod-2^38 inverse, same int8 limb MAC, bit-exact vs
+two-channel (A/B) inverse, same int8 limb MAC, bit-exact vs
 ``ref/transform_ref``); only the axis assignment differs.  The MAC is one
 batched ``dot_general`` over all L slots: (L, C, Q) x (L, C, b) ->
 (L, Q, b), contracting the row axis — batch stays on lanes throughout.
@@ -43,9 +43,8 @@ R = tr.R
 L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT
-_LO_BITS = 19
-# live output groups in the MAC Q axis (weights 2^(8s) with 8s < 38; see
-# transform.build_mac_rhs)
+# output groups in the MAC Q axis: [B, A0, A1, A2, A3] (see
+# transform.build_mac_rhs for the A/B channel split)
 SHIFT_GROUPS = 5
 
 
@@ -567,21 +566,15 @@ def dit_inverse2(x, stride):
 
 
 def _combine_groups(ps_slices):
-    """Shift-group combine: 5 int32 group outputs (weight 2^(8s)) -> the
-    lazily-carried dual-channel (lo, hi) mod-2^38 accumulators."""
-    lo = None
-    hi = None
-    for s, ps in enumerate(ps_slices):
-        shift = 8 * s
-        if shift < _LO_BITS:
-            rem = _LO_BITS - shift
-            hi_c = ps >> rem
-            lo_c = (ps & ((1 << rem) - 1)) << shift
-            lo = lo_c if lo is None else lo + lo_c
-        else:
-            hi_c = ps << (shift - _LO_BITS)
-        hi = hi_c if hi is None else hi + hi_c
-    return lo, hi
+    """Shift-group combine: the 5 dot-output groups [B, A0, A1, A2, A3]
+    -> the (A, B) channel pair.  A = A0 + (A1<<8) + (A2<<16) + (A3<<24)
+    rides i32 with FREE wraparound (the MAC value is only needed mod 2^38
+    = 2^6 * 2^32 and A carries weight 2^6); B (the a0 x vlo products,
+    |B| <= 2^18 per slot) passes through untouched and stays exact in i32
+    through the 64x growth of the inverse (<= 2^24)."""
+    b_, a0, a1, a2, a3 = ps_slices
+    a = (a0 + (a1 << 8)) + ((a2 << 16) + (a3 << 24))
+    return a, b_
 
 
 def dot_out_to_delta(out, mask1):
@@ -603,11 +596,11 @@ def dot_out_to_delta(out, mask1):
     def combine(i):
         # slots {i, 8+i, ..., 56+i} -> (8*stride, b) rows (slot, ch, o, k)
         o_sl = v0[:, i]
-        lo, hi = _combine_groups(
+        a_ch, b_ch = _combine_groups(
             [jax.lax.slice_in_dim(o_sl, s * o_r, (s + 1) * o_r, axis=1)
              for s in range(SHIFT_GROUPS)])
         x = jnp.concatenate(
-            [lo.reshape(8, 1, o_r, b), hi.reshape(8, 1, o_r, b)], axis=1)
+            [a_ch.reshape(8, 1, o_r, b), b_ch.reshape(8, 1, o_r, b)], axis=1)
         return x.reshape(8 * stride, b)
 
     # pass 1: stages 0, 1, 2 (combine fused into the slot-slice reads)
@@ -695,12 +688,11 @@ def dot_out_to_delta(out, mask1):
         axis=0).reshape(mask1 * N, b)
 
 
-def normalize_dual(lo, hi):
-    carry = lo >> _LO_BITS
-    lo_n = lo - (carry << _LO_BITS)
-    hi_n = (hi + carry) & ((1 << _LO_BITS) - 1)
-    return ((lo_n >> INV_SHIFT) | (hi_n << (_LO_BITS - INV_SHIFT))
-            ).astype(jnp.int32)
+def normalize_dual(a, b_):
+    """(A, B) inverse outputs -> exact c = A + (B >> 6) mod 2^32.
+    B is divisible by 2^6 over Z (B = 64c - 2^6*A), so the arithmetic
+    shift is exact division; A's i32 wraparound is mod-2^32 by design."""
+    return (a + (b_ >> INV_SHIFT)).astype(jnp.int32)
 
 
 def packed_to_lhs(xt_pk, n_pk, mac_dtype):
@@ -809,8 +801,8 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
 
 
 def mac_out_to_delta(lo3, hi3, mask1, radix8=True):
-    """Dual-channel MAC accumulators (L, mask1*R, b) -> acc-layout delta
-    (mask1*1024, b): DIT inverse + fold + dual-channel normalization."""
+    """(A, B) channel MAC accumulators (L, mask1*R, b) -> acc-layout delta
+    (mask1*1024, b): DIT inverse + fold + A/B extraction."""
     b = lo3.shape[-1]
     o_r = mask1 * R
     # inverse input rows (t, ch, o, k)
@@ -830,8 +822,8 @@ def _mac_dot_raw(lhs, rhs, mac_dtype):
     The rhs carries the negacyclic signs baked in (``build_mac_rhs``), so
     this is a direct dot: int8 x int8 -> int32 on the TPU MXU (exact:
     |products| <= 2^14, 256-term sums <= 2^22), f32 x f32 -> f32 elsewhere.
-    out rows: Q = s*o_r + o*R + k, 5 live shift groups
-    (Q = SHIFT_GROUPS*mask1*R; weights 2^(8s) with 8s >= 38 never emitted).
+    out rows: Q = s*o_r + o*R + k, SHIFT_GROUPS = 5 output groups
+    [B, A0, A1, A2, A3] (see ``transform.build_mac_rhs``).
     """
     from .transform import mac_accum_dtype
     out = jax.lax.dot_general(
@@ -844,7 +836,7 @@ def _mac_dot_raw(lhs, rhs, mac_dtype):
 
 
 def _mac_dot(lhs, rhs, mask1, mac_dtype):
-    """MAC dot + shift-group combine -> dual-channel (L, mask1*R, b)."""
+    """MAC dot + shift-group combine -> (A, B) channels (L, mask1*R, b)."""
     o_r = mask1 * R
     out = _mac_dot_raw(lhs, rhs, mac_dtype)
     return _combine_groups(

@@ -42,6 +42,12 @@ def bootstrap_key_limbs_host(bk_coeff):
         n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS, 2)
 
 
+# Module-level jit wrapper: the fresh-keygen prep and the serialized-key
+# load path share one in-process trace cache (a per-call jax.jit() wrapper
+# would recompile the expansion on every load).
+_build_mac_rhs = jax.jit(dt.build_mac_rhs)
+
+
 def expand_bootstrap_key_device(limbs, chunk: int = 50):
     """Compact transformed limbs -> the HBM-resident MAC operand.
 
@@ -50,8 +56,11 @@ def expand_bootstrap_key_device(limbs, chunk: int = 50):
         negacyclic signs baked in (direct int8 MXU operand), C = G*2R,
         Q = 5*O*R (live shift groups only).
     """
-    build = jax.jit(dt.build_mac_rhs)
-    parts = [build(jnp.asarray(limbs[i:i + chunk]))
+    # one H2D transfer for the whole compact form; per-chunk inputs are
+    # device-side slices (the tunneled host->device link has high per-
+    # transfer latency, so ten small uploads cost more than one large one)
+    limbs = jnp.asarray(limbs)
+    parts = [_build_mac_rhs(limbs[i:i + chunk])
              for i in range(0, limbs.shape[0], chunk)]
     out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return jax.block_until_ready(out)

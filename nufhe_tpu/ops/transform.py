@@ -14,11 +14,14 @@ L=64), engineered for TPU:
   decomposition rows x lane) and Q = 5*O*R (shift groups x output polys x
   lane), int8 operands with int32 accumulation (exact: |products| <= 2^14,
   256-term sums <= 2^22) — this is what rides the MXU;
-- the unscaled inverse transform runs on a redundant two-channel i32
-  representation of mod-2^38 values (lo 19 bits / hi 19 bits, lazily
-  carried); i32 wraparound keeps everything exact mod 2^32 (and hi is only
-  needed mod 2^19), so no carry logic appears inside butterflies; a single
-  normalization at extraction recovers the exact product mod 2^32.
+- the unscaled inverse transform runs on a two-channel i32 representation
+  of the mod-2^38 MAC values, split at the key: V = 2^6*A + B with
+  A = sum(digit * (key >> 6)) carried freely-wrapping mod 2^32 (2^38 =
+  2^6 * 2^32, so wrapping A is invisible mod 2^38) and B =
+  sum(a0-limb * balanced(key mod 64)) carried exactly (|B| <= 2^18 per
+  slot, <= 2^24 after the 64x inverse growth — inside i32).  No carry
+  logic or masking appears anywhere; the single extraction
+  c = A + (B >> 6) is exact because 2^6 | B (B = 64c - 2^6*A over Z).
 
 Every function here operates on plain jnp *values* (static slices, concats,
 selects, dot_general), so the identical code path can execute under jit/XLA
@@ -41,15 +44,20 @@ L = tr.L
 LOG_L = tr.LOG_L
 INV_SHIFT = tr.INV_SHIFT  # inverse transform is unscaled by 2^6
 
-# Limb formats.  Both MAC operands are 8-bit int8 (f32-exact fallback):
-# key side: 5 balanced radix-2^8 limbs cover mod-2^38 values;
-# acc side: 2 limbs cover the forward-transformed digits (|.| <= 2^14).
+# Limb formats.  Both MAC operands are 8-bit int8 (f32-exact fallback).
+# Key side: the mod-2^38 value is split at the INV_SHIFT boundary,
+# v = 2^6*vhi + vlo with vlo = balanced(v mod 64) in [-32, 31] and
+# vhi carried mod 2^32 as 4 balanced radix-2^8 limbs (limb index 1..4 of
+# the stored array; index 0 is vlo).  Acc side: 2 limbs cover the
+# forward-transformed digits (|.| <= 2^14).
 KEY_LIMB_BITS = 8
-KEY_LIMBS = 5
+KEY_LIMBS = 5             # vlo + 4 vhi limbs
 ACC_LIMB_BITS = 8
 ACC_LIMBS = 2
-SHIFT_GROUPS = 5          # output shift groups s: value = sum_s 2^(8s) P_s
-_LO_BITS = 19             # dual-channel split of mod-2^38 values
+# Output shift groups on the MAC Q axis: group 0 is the exact B channel
+# (a0 x vlo products, weight 2^0); groups 1..4 are the A channel's
+# radix-2^8 pieces (weight 2^(8(s-1)) toward A, overall weight 2^6*2^(8(s-1)))
+SHIFT_GROUPS = 5
 
 
 def _yshift(p, e):
@@ -124,20 +132,41 @@ def forward_i32(x):
 
 
 def _limb_split_38(v):
-    """Balanced radix-2^8 split of centered int64 values in [-2^37, 2^37):
-    KEY_LIMBS int8 digits, each in [-128, 127]."""
-    limbs = []
-    for _ in range(KEY_LIMBS):
+    """A/B split of centered int64 values in [-2^37, 2^37): limb 0 is
+    vlo = balanced(v mod 64) in [-32, 31]; limbs 1..4 are balanced
+    radix-2^8 digits of vhi = (v - vlo) >> 6, valid mod 2^32 (the top
+    digit is truncated — the A channel wraps freely)."""
+    vlo = ((v + 32) & 63) - 32
+    limbs = [vlo.astype(np.int8)]
+    v = (v - vlo) >> 6
+    for _ in range(KEY_LIMBS - 1):
         l0 = ((v + 128) & 255) - 128
         limbs.append(l0.astype(np.int8))
         v = (v - l0) >> KEY_LIMB_BITS
     return np.stack(limbs, axis=-1)
 
 
+def relimb_from_radix8(old):
+    """Convert format-2 (round-2 containers) plain balanced radix-2^8
+    two-sided key limbs to the current A/B form.  The 5-digit balanced
+    split reconstructs the centered mod-2^38 value exactly (|v| < 2^37),
+    so this is a lossless host-side re-split.
+
+    :param old: int8 (..., KEY_LIMBS, 2) in the old format.
+    :returns: int8 (..., KEY_LIMBS, 2) in the A/B format.
+    """
+    old = np.asarray(old)
+    v = np.zeros(old.shape[:-2] + (2,), np.int64)
+    for j in reversed(range(KEY_LIMBS)):
+        v = (v << KEY_LIMB_BITS) + old[..., j, :].astype(np.int64)
+    return np.stack(
+        [_limb_split_38(v[..., 0]), _limb_split_38(v[..., 1])], axis=-1)
+
+
 def key_limbs_host(bhat_u64):
     """Host-side: split key transforms (residues mod 2^64, needed mod 2^38)
-    into KEY_LIMBS balanced radix-2^8 limbs — TWO-SIDED: limbs of +v and of
-    (-v mod 2^38).
+    into the A/B limb form (vlo + 4 vhi limbs, see ``_limb_split_38``) —
+    TWO-SIDED: limbs of +v and of (-v mod 2^38).
 
     The negacyclic expansion needs sgn(u, k) * v per rhs entry.  Negating a
     limb vector at runtime would produce +128 (unrepresentable in int8)
@@ -185,21 +214,29 @@ def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
     operand with the negacyclic signs BAKED IN (pure int8; the matmul is a
     direct int8 x int8 -> int32 contraction, no runtime sign mask).
 
-    rhs[..., p, c, q] with c = g*(2R) + i*R + u, q = s*(O*R) + o*R + k is
-    limb j = s-i of sgn(u, k) * bhat[g, o, t(p)] at rotation (k-u)%R, where
-    sgn = +1 if k >= u else -1 — realized by selecting the limbs of +v
-    (k >= u) or of -v mod 2^38 (k < u), both plain balanced decompositions
+    rhs[..., p, c, q] with c = g*(2R) + i*R + u, q = s*(O*R) + o*R + k
+    holds a limb piece of sgn(u, k) * bhat[g, o, t(p)] at rotation (k-u)%R,
+    where sgn = +1 if k >= u else -1 — realized by selecting the limbs of
+    +v (k >= u) or of -v mod 2^38 (k < u), both plain decompositions
     (see ``key_limbs_host``).  Expansion is R static rolls (matrix row u is
     the limb vector rotated by u) plus a static k-mask select — no gathers.
+
+    Group mapping (v = 2^6*vhi + vlo, d = a0 + 2^8*a1; the product
+    d*v = 2^6*A-part + B-part):
+      s = 0 (B, weight 2^0):      i=0 -> vlo;          i=1 -> 0
+      s = 1 (A_0, weight 2^6):    i=0 -> vhi_0;        i=1 -> 4*vlo
+                                  (a1*vlo has weight 2^8 = 2^6*4; the
+                                  factor 4 is baked in: 4*vlo in [-128,124])
+      s = 2..4 (A_{s-1}):         i=0 -> vhi_{s-1};    i=1 -> vhi_{s-2}
+    The a1*vhi_3 product (overall weight 2^6*2^32 = 0 mod 2^38) is dropped
+    — the A channel is only needed mod 2^32.
 
     :param limbs: (..., G, O, L, R, KEY_LIMBS, 2) int8 device array.
     :param bitrev_order: store slot p = key frequency bitrev_6(p), matching
         the DIF-forward/DIT-inverse dataflow of ``ops/flat_engine`` (no
         bit-reversal permutation anywhere on the hot path).
-    :param n_groups: shift groups in Q.  The default 5 = SHIFT_GROUPS keeps
-        only live groups (Q = 320; measured slightly faster and 17% less
-        HBM than padding to 384).  Values with 8s >= 38 would be true
-        zeros (weight 0 mod 2^38) and are never emitted.
+    :param n_groups: shift groups in Q.  The default 5 = SHIFT_GROUPS
+        (B + 4 A pieces; Q = 320).
     :returns: (..., L, G*2R, n_groups*O*R) int8.
     """
     g, o_sz = limbs.shape[-6], limbs.shape[-5]
@@ -218,10 +255,13 @@ def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
     zero = jnp.zeros(lead + (g, o_sz, L, R, R), jnp.int8)
 
     def limb(i, s):
-        j = s - i
-        if 0 <= j < KEY_LIMBS and 8 * s < 38:
-            return rows[..., j]
-        return zero
+        if s == 0:                      # B group: a0 x vlo only
+            return rows[..., 0] if i == 0 else zero
+        if i == 0:                      # a0 x vhi_{s-1}
+            return rows[..., s]
+        if s == 1:                      # a1 x vlo at A-weight 2^0, factor 4
+            return rows[..., 0] * jnp.int8(4)
+        return rows[..., s - 1]         # a1 x vhi_{s-2}
 
     # arr axes: [i, s] + lead + [G, O, L, u, k]
     arr = jnp.stack(

@@ -106,7 +106,7 @@ _TRANSFORMS = {
 # The exact Z/2^32 engine exposes the same *capability* with one structural
 # difference: 1/64 (the DFT length) is not invertible mod 2^32, so a
 # standalone general inverse does not exist — exact products are recovered
-# through the engine's dual-channel mod-2^38 pipeline instead.  Every
+# through the engine's two-channel (A/B) mod-2^38 pipeline instead.  Every
 # multiplication the scheme (and the reference) actually performs has one
 # small-coefficient operand (key bits, gadget digits), which
 # ``transformed_mul_device``/``negacyclic_mul_device`` cover exactly.

@@ -54,6 +54,35 @@ def test_cloud_key_serialization(ctx_keys):
     assert ctx.load_cloud_key(data) == cloud
 
 
+def test_bootstrap_key_format2_backcompat(ctx_keys):
+    """Round-2 (format-2) containers stored plain balanced radix-2^8 key
+    limbs; loading one must re-split into the current A/B form."""
+    from nufhe_tpu import serialization
+    from nufhe_tpu.keys import BootstrapKey
+
+    ctx, secret, cloud = ctx_keys
+    bk = cloud.bootstrap_key
+    new = bk.limbs()
+    # reconstruct the centered mod-2^38 values (both sides), then produce
+    # the round-2 split: 5 balanced radix-2^8 digits, no A/B boundary
+    v = new[..., 0, :].astype(np.int64) + (sum(
+        new[..., j, :].astype(np.int64) << (8 * (j - 1))
+        for j in range(1, 5)) << 6)
+    old, w = [], v
+    for _ in range(5):
+        l0 = ((w + 128) & 255) - 128
+        old.append(l0.astype(np.int8))
+        w = (w - l0) >> 8
+    old = np.stack(old, axis=-2)                      # (..., 5, 2)
+
+    buf = io.BytesIO()
+    serialization.dump(buf, {"kind": "BootstrapKey", "format": 2},
+                       {"limbs": old, "cv": bk.cv})
+    buf.seek(0)
+    loaded = BootstrapKey.load(buf, bk.in_out_params, bk.bk_params)
+    assert np.array_equal(loaded.limbs(), new)
+
+
 def test_ciphertext_serialization(ctx_keys):
     ctx, secret, cloud = ctx_keys
     bits = np.array([[True, False], [False, True]])
