@@ -62,7 +62,7 @@ def main():
     cloud.keyswitch_key.device()
     key_prep_t = time.time() - t0
 
-    # serialized-key load path: a format-2 container stores the transformed
+    # serialized-key load path: a format-3 container stores the transformed
     # two-sided limb form, so load -> HBM skips the host transform entirely
     # (reference analogue: nufhe/tgsw.py:99-130 stores the transformed key)
     import io
