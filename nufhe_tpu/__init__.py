@@ -98,6 +98,7 @@ from .models.integer import (
     uint_max,
     uint_add,
     uint_sub,
+    uint_mul,
     uint_gt,
     uint_lt,
     uint_eq,

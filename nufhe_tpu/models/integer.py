@@ -143,6 +143,48 @@ def uint_add(cloud_key, answer, a, b, perf_params=None):
     return answer
 
 
+def uint_mul(cloud_key, answer, a, b, perf_params=None):
+    """Encrypted multiplication a * b (mod 2^itemsize): shift-and-add.
+
+    For each bit j of ``b`` (LSB first) one batched AND masks the shifted
+    operand a << j (the single b bit broadcasts over the w-j surviving
+    product bits), which a ripple adder accumulates into the top w-j bits
+    of the result; carries past the MSB drop (mod 2^w).  Gate count:
+    w batched ANDs + ~3/2 w^2 single-bit bootstrapped gates.
+    """
+    params = cloud_key.params
+    w = answer.shape[-1]
+
+    acc = empty_ciphertext(params, answer.shape)
+    p = empty_ciphertext(params, a.shape[:-1] + (1,))
+    s = empty_ciphertext(params, a.shape[:-1] + (1,))
+    carry = empty_ciphertext(params, a.shape[:-1] + (1,))
+
+    # j = 0: acc = a AND b_lsb (no adder needed on a zero accumulator)
+    gate_and(cloud_key, acc, a, b[..., w - 1:w], perf_params=perf_params)
+
+    for j in range(1, w):  # b bit at LSB offset j = array index w-1-j
+        width = w - j
+        masked = empty_ciphertext(params, a.shape[:-1] + (width,))
+        gate_and(cloud_key, masked, a[..., j:], b[..., w - 1 - j:w - j],
+                 perf_params=perf_params)
+        # acc[..., :width] += masked, LSB (index width-1) up to the MSB
+        gate_constant(cloud_key, carry, False)
+        for i in reversed(range(width)):
+            acc_i = acc[..., i:i + 1]
+            gate_xor(cloud_key, p, acc_i, masked[..., i:i + 1],
+                     perf_params=perf_params)
+            gate_xor(cloud_key, s, p, carry, perf_params=perf_params)
+            if i > 0:  # carry out of the MSB is dropped
+                # carry' = p ? carry : acc_i — BEFORE acc_i is overwritten
+                gate_mux(cloud_key, carry, p, carry, acc_i,
+                         perf_params=perf_params)
+            acc[..., i:i + 1] = s
+    from .gates import gate_copy
+    gate_copy(cloud_key, answer, acc)
+    return answer
+
+
 def uint_max(cloud_key, answer, a, b, perf_params=None):
     """Encrypted maximum of two unsigned integers (big-endian bit arrays):
     the same comparison ladder as ``uint_min`` with the final selection

@@ -100,3 +100,21 @@ def test_uint_max_sub_eq():
     uint_eq(cloud, eq, ca, cb)
     got = nf.decrypt(secret, eq)[..., 0]
     assert np.array_equal(got, a_vals == b_vals)
+
+
+def test_uint_mul():
+    from nufhe_tpu.models.integer import uint_mul
+    rng = nf.DeterministicRNG(10)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    a_vals = np.array([13, 9, 7], np.uint8)
+    b_vals = np.array([5, 9, 0], np.uint8)
+    a_bits = uintarray_to_bitarray(a_vals, itemsize=4)
+    b_bits = uintarray_to_bitarray(b_vals, itemsize=4)
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
+
+    ans = nf.empty_ciphertext(cloud.params, a_bits.shape)
+    uint_mul(cloud, ans, ca, cb)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, (a_vals * b_vals) % 16)
