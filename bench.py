@@ -51,10 +51,14 @@ def main():
     runs = int(os.environ.get("NUFHE_BENCH_RUNS", 3))
     inner = int(os.environ.get("NUFHE_BENCH_INNER", 4))
     gate = os.environ.get("NUFHE_BENCH_GATE", "nand")  # nand | mux
+    # ntt = exact engine (vs the reference's NTT numbers); fft = rounded-key
+    # engine (the accuracy class of the reference's f64 FFT path, vs its
+    # FFT numbers: 0.13 ms/bit binary, 0.22 MUX)
+    transform = os.environ.get("NUFHE_BENCH_TRANSFORM", "ntt").upper()
 
     rng = nf.DeterministicRNG(42)
     t0 = time.time()
-    secret, cloud = nf.make_key_pair(rng)
+    secret, cloud = nf.make_key_pair(rng, transform_type=transform)
     keygen_host_t = time.time() - t0
 
     t0 = time.time()
@@ -84,12 +88,12 @@ def main():
     vm = nf.VirtualMachine(cloud)
 
     if gate == "mux":
-        # MUX: r = sel ? b : r  (baseline: nuFHE NTT MUX = 0.67 ms/bit)
-        baseline = 0.67
+        # MUX: r = sel ? b : r  (baselines: nuFHE NTT 0.67, FFT 0.22 ms/bit)
+        baseline = 0.67 if transform == "NTT" else 0.22
         run_gate = lambda r: vm.gate_mux(ca, cb, r, dest=r)
         step_expect = lambda e: np.where(bits_a, bits_b, e)
     else:
-        baseline = BASELINE_MS_PER_BIT
+        baseline = BASELINE_MS_PER_BIT if transform == "NTT" else 0.13
         run_gate = lambda r: vm.gate_nand(ca, r, dest=r)
         step_expect = lambda e: ~(bits_a & e)
 
@@ -149,9 +153,10 @@ def main():
     best = min(times)
     ms_per_bit = best / batch * 1000.0
 
+    label = "" if transform == "NTT" else " fft-mode"
     print(json.dumps({
-        "metric": "bootstrapped {} ms/bit (batch {})".format(
-            gate.upper(), batch),
+        "metric": "bootstrapped {}{} ms/bit (batch {})".format(
+            gate.upper(), label, batch),
         "value": round(ms_per_bit, 6),
         "unit": "ms/bit",
         "vs_baseline": round(baseline / ms_per_bit, 3),
@@ -160,6 +165,7 @@ def main():
     print(json.dumps({
         "detail": {
             "device": str(jax.devices()[0]),
+            "transform": transform,
             "batch": batch,
             "best_s_per_gatecall": round(best, 4),
             "all_runs_s": [round(t, 4) for t in times],

@@ -111,6 +111,18 @@ inline void split_one(int64_t v, int8_t* o) {
     }
 }
 
+// rounded-key ('FFT') variant: vlo is dropped (v rounded to the nearest
+// multiple of 64; the remainder becomes key noise) and only the 4 vhi
+// radix-2^8 digits are emitted.
+inline void split_one_rounded(int64_t v, int8_t* o) {
+    v = (v + 32) >> 6;
+    for (int j = 0; j < 4; ++j) {
+        int64_t l0 = ((v + 128) & 255) - 128;
+        o[j * 2] = (int8_t)l0;
+        v = (v - l0) >> 8;
+    }
+}
+
 inline int64_t center38(uint64_t r) {
     int64_t v = (int64_t)(r & ((1ull << 38) - 1));
     return v - ((v >> 37) << 38);  // center into [-2^37, 2^37)
@@ -133,18 +145,28 @@ void limb_split_38(const uint64_t* in, int8_t* out, long count) {
     }
 }
 
-// fused: (n_polys, 1024) int32 -> (n_polys, 64, 32, 5, 2) int8 key limbs
-void bootstrap_key_limbs(const int32_t* in, int8_t* out, long n_polys) {
+// fused: (n_polys, 1024) int32 -> (n_polys, 64, 32, KL, 2) int8 key limbs;
+// exact != 0 -> KL = 5 (A/B split), exact == 0 -> KL = 4 (rounded key)
+void bootstrap_key_limbs(const int32_t* in, int8_t* out, long n_polys,
+                         int exact) {
+    const long kl = exact ? 5 : 4;
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
     for (long p = 0; p < n_polys; ++p) {
         uint64_t buf[L * R];
         forward_one(in + p * N, buf);
-        int8_t* o = out + p * (long)(L * R * 10);
+        int8_t* o = out + p * (long)(L * R * 2 * kl);
         for (long idx = 0; idx < L * R; ++idx) {
-            split_one(center38(buf[idx]), o + idx * 10);
-            split_one(center38((uint64_t)0 - buf[idx]), o + idx * 10 + 1);
+            if (exact) {
+                split_one(center38(buf[idx]), o + idx * 2 * kl);
+                split_one(center38((uint64_t)0 - buf[idx]),
+                          o + idx * 2 * kl + 1);
+            } else {
+                split_one_rounded(center38(buf[idx]), o + idx * 2 * kl);
+                split_one_rounded(center38((uint64_t)0 - buf[idx]),
+                                  o + idx * 2 * kl + 1);
+            }
         }
     }
 }

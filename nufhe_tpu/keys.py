@@ -143,10 +143,20 @@ class BootstrapKey:
         return cls(lwe_key.params, bk_params, a.astype(Torus32), cv)
 
     def limbs(self):
-        """Compact transformed two-sided limb form (the serialized form)."""
+        """Compact transformed two-sided limb form (the serialized form).
+
+        ``transform_type='NTT'`` params produce the exact 5-limb A/B split;
+        ``'FFT'`` params the rounded-key 4-limb split (the accuracy class
+        of the reference's f64 FFT path — see ``transform.key_limbs_host``).
+        A container holding the other format still loads and runs (the
+        limb count selects the engine mode), it just keeps the accuracy
+        it was written with.
+        """
         if self._limbs is None:
             from .ops import tgsw as dtgsw
-            self._limbs = dtgsw.bootstrap_key_limbs_host(self.bk_coeff)
+            exact = self.accum_params.transform_type != 'FFT'
+            self._limbs = dtgsw.bootstrap_key_limbs_host(
+                self.bk_coeff, exact=exact)
         return self._limbs
 
     def device(self):

@@ -66,7 +66,8 @@ def _load():
             lib.limb_split_38.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
             lib.bootstrap_key_limbs.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_int]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -94,17 +95,20 @@ def forward_u64(a):
     return out.reshape(lead + (tr.L, tr.R))
 
 
-def bootstrap_key_limbs(bk_coeff_flat):
-    """(n_polys, 1024) int32 -> (n_polys, 64, 32, 5, 2) int8 two-sided
-    transformed-key limbs (forward transform + mod-2^38 balanced radix-2^8
-    splits of +v and -v; see ``ops.transform.key_limbs_host``)."""
+def bootstrap_key_limbs(bk_coeff_flat, exact=True):
+    """(n_polys, 1024) int32 -> (n_polys, 64, 32, KL, 2) int8 two-sided
+    transformed-key limbs (forward transform + mod-2^38 A/B splits of +v
+    and -v; see ``ops.transform.key_limbs_host``).  KL = 5 exact, 4 in
+    the rounded-key ('FFT') mode."""
     from .ref import transform_ref as tr
     from .ops import transform as dt
 
     lib = _load()
     flat = np.ascontiguousarray(bk_coeff_flat, dtype=np.int32)
     if lib is None:
-        return dt.key_limbs_host(tr.forward(flat))
-    out = np.empty((flat.shape[0], tr.L, tr.R, 5, 2), np.int8)
-    lib.bootstrap_key_limbs(flat.ctypes.data, out.ctypes.data, flat.shape[0])
+        return dt.key_limbs_host(tr.forward(flat), exact=exact)
+    kl = dt.KEY_LIMBS if exact else dt.KEY_LIMBS_APPROX
+    out = np.empty((flat.shape[0], tr.L, tr.R, kl, 2), np.int8)
+    lib.bootstrap_key_limbs(flat.ctypes.data, out.ctypes.data, flat.shape[0],
+                            1 if exact else 0)
     return out

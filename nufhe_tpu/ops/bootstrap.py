@@ -222,9 +222,13 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
 
     # Fresh-noise estimate through the blind rotation (CGGI16 bound;
     # extraction is variance-preserving).  The reference leaves this
-    # unfilled (TODO at nufhe/blind_rotate.py:254).
+    # unfilled (TODO at nufhe/blind_rotate.py:254).  The rounded-key
+    # ('FFT') mode adds its key-quantization variance term; the mode is
+    # read off the expanded key's Q axis (4 groups = rounded).
     from ..ref.bootstrap_ref import blind_rotate_variance
-    var_br = blind_rotate_variance(tgsw_params, lwe_a.shape[-1])
+    o_r = (mask_size + 1) * 32
+    exact = bk_dev.shape[-1] // o_r != 4
+    var_br = blind_rotate_variance(tgsw_params, lwe_a.shape[-1], exact=exact)
     ex_cv = jnp.full(ex_b.shape, jnp.float32(var_br))
 
     if no_keyswitch:

@@ -189,7 +189,10 @@ def dit_inverse_q(x, n_poly=1):
 def normalize_dual(a, b_):
     """(A, B) inverse outputs -> exact c = A + (B >> 6) mod 2^32.
     B is divisible by 2^6 over Z (B = 64c - 2^6*A), so the arithmetic
-    shift is exact division; A's i32 wraparound is mod-2^32 by design."""
+    shift is exact division; A's i32 wraparound is mod-2^32 by design.
+    Rounded-key mode (b_ is None): c = A directly."""
+    if b_ is None:
+        return a.astype(jnp.int32)
     return (a + (b_ >> INV_SHIFT)).astype(jnp.int32)
 
 
@@ -272,24 +275,33 @@ def transformed_mac_flat(digits, rhs_row, *, mask1, g_total,
             lhs_t, rhs_t, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=mac_accum_dtype(mac_dtype)
             ).astype(jnp.int32)
-        # groups [B, A0, A1, A2, A3] -> (A, B): A wraps freely mod 2^32
-        ps = [out_t[..., s * o_r:(s + 1) * o_r] for s in range(5)]
-        lo_t = (ps[1] + (ps[2] << 8)) + ((ps[3] << 16) + (ps[4] << 24))
-        hi_t = ps[0]
+        n_groups = q_size // o_r       # 5 = exact (A/B), 4 = rounded-key
+        ps = [out_t[..., s * o_r:(s + 1) * o_r] for s in range(n_groups)]
+        if n_groups == 5:
+            # groups [B, A0, A1, A2, A3] -> (A, B): A wraps freely mod 2^32
+            lo_t = (ps[1] + (ps[2] << 8)) + ((ps[3] << 16) + (ps[4] << 24))
+            hi_t = ps[0]
+        else:
+            # rounded-key: groups [A0..A3], no B channel
+            lo_t = (ps[0] + (ps[1] << 8)) + ((ps[2] << 16) + (ps[3] << 24))
+            hi_t = None
         for o in range(mask1):
             lo_parts[o].append(lo_t[..., o * R:(o + 1) * R])
-            hi_parts[o].append(hi_t[..., o * R:(o + 1) * R])
+            if hi_t is not None:
+                hi_parts[o].append(hi_t[..., o * R:(o + 1) * R])
 
     lo = jnp.concatenate(
         [piece for o in range(mask1) for piece in lo_parts[o]], axis=-1)
-    hi = jnp.concatenate(
+    hi = (jnp.concatenate(
         [piece for o in range(mask1) for piece in hi_parts[o]], axis=-1)
+        if hi_parts[0] else None)
     if axis_name is not None:
         lo = jax.lax.psum(lo, axis_name)
-        hi = jax.lax.psum(hi, axis_name)
+        if hi is not None:
+            hi = jax.lax.psum(hi, axis_name)
 
     inv_lo = dit_inverse_q(lo, n_poly=mask1)
-    inv_hi = dit_inverse_q(hi, n_poly=mask1)
+    inv_hi = dit_inverse_q(hi, n_poly=mask1) if hi is not None else None
     return normalize_dual(inv_lo, inv_hi)
 
 

@@ -571,7 +571,13 @@ def _combine_groups(ps_slices):
     rides i32 with FREE wraparound (the MAC value is only needed mod 2^38
     = 2^6 * 2^32 and A carries weight 2^6); B (the a0 x vlo products,
     |B| <= 2^18 per slot) passes through untouched and stays exact in i32
-    through the 64x growth of the inverse (<= 2^24)."""
+    through the 64x growth of the inverse (<= 2^24).
+
+    Rounded-key ('FFT') mode: 4 groups [A0..A3], no B channel — the
+    second element of the returned pair is None."""
+    if len(ps_slices) == 4:
+        a0, a1, a2, a3 = ps_slices
+        return (a0 + (a1 << 8)) + ((a2 << 16) + (a3 << 24)), None
     b_, a0, a1, a2, a3 = ps_slices
     a = (a0 + (a1 << 8)) + ((a2 << 16) + (a3 << 24))
     return a, b_
@@ -588,17 +594,21 @@ def dot_out_to_delta(out, mask1):
     """
     b = out.shape[-1]
     o_r = mask1 * R
-    stride = 2 * o_r
     q = out.shape[-2]
+    n_groups = q // o_r               # 5 = exact (A/B), 4 = rounded-key (A)
+    two_ch = n_groups == SHIFT_GROUPS
+    stride = (2 * o_r) if two_ch else o_r
 
     v0 = out.reshape(8, 8, q, b)
 
     def combine(i):
-        # slots {i, 8+i, ..., 56+i} -> (8*stride, b) rows (slot, ch, o, k)
+        # slots {i, 8+i, ..., 56+i} -> (8*stride, b) rows (slot[, ch], o, k)
         o_sl = v0[:, i]
         a_ch, b_ch = _combine_groups(
             [jax.lax.slice_in_dim(o_sl, s * o_r, (s + 1) * o_r, axis=1)
-             for s in range(SHIFT_GROUPS)])
+             for s in range(n_groups)])
+        if not two_ch:
+            return a_ch.reshape(8 * stride, b)
         x = jnp.concatenate(
             [a_ch.reshape(8, 1, o_r, b), b_ch.reshape(8, 1, o_r, b)], axis=1)
         return x.reshape(8 * stride, b)
@@ -681,8 +691,9 @@ def dot_out_to_delta(out, mask1):
         g7 = f3 - t
         for zi, (ga, gb) in enumerate(((g0, g4), (g1, g5),
                                        (g2, g6), (g3, g7))):
-            c = ga + rot_block(gb, 1)        # fold: (2, o_r, b) rows (ch,o,k)
-            outs[zi][j] = normalize_dual(c[:o_r], c[o_r:])
+            c = ga + rot_block(gb, 1)   # fold: ([ch,] o, k) rows x b
+            outs[zi][j] = (normalize_dual(c[:o_r], c[o_r:]) if two_ch
+                           else c.astype(jnp.int32))
     return jnp.concatenate(
         [o.reshape(1, o_r, b) for grp in outs for o in grp],
         axis=0).reshape(mask1 * N, b)
@@ -691,7 +702,10 @@ def dot_out_to_delta(out, mask1):
 def normalize_dual(a, b_):
     """(A, B) inverse outputs -> exact c = A + (B >> 6) mod 2^32.
     B is divisible by 2^6 over Z (B = 64c - 2^6*A), so the arithmetic
-    shift is exact division; A's i32 wraparound is mod-2^32 by design."""
+    shift is exact division; A's i32 wraparound is mod-2^32 by design.
+    Rounded-key mode (b_ is None): c = A directly."""
+    if b_ is None:
+        return a.astype(jnp.int32)
     return (a + (b_ >> INV_SHIFT)).astype(jnp.int32)
 
 
@@ -781,35 +795,44 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         # concatenation restores the full (L, ., .) order
         lo3 = jax.lax.all_gather(
             lo3, slot_axis_name, axis=0, tiled=True)
-        hi3 = jax.lax.all_gather(
-            hi3, slot_axis_name, axis=0, tiled=True)
+        if hi3 is not None:
+            hi3 = jax.lax.all_gather(
+                hi3, slot_axis_name, axis=0, tiled=True)
     elif axis_name is not None:
-        lo_hi = _mac_dot(lhs, rhs, mask1, mac_dtype)
-        lo3, hi3 = jax.lax.psum(lo_hi, axis_name)
+        lo3, hi3 = _mac_dot(lhs, rhs, mask1, mac_dtype)
+        if hi3 is None:
+            lo3 = jax.lax.psum(lo3, axis_name)
+        else:
+            lo3, hi3 = jax.lax.psum((lo3, hi3), axis_name)
     else:
         out = _mac_dot_raw(lhs, rhs, mac_dtype)
         if radix8:
             # fused path: group combine rides the first inverse pass,
-            # normalization the second — no dual-channel materialization
+            # normalization/extraction the second — no channel
+            # materialization
             return dot_out_to_delta(out, mask1)
         o_r_ = mask1 * R
         lo3, hi3 = _combine_groups(
             [jax.lax.slice_in_dim(out, s * o_r_, (s + 1) * o_r_, axis=1)
-             for s in range(SHIFT_GROUPS)])
+             for s in range(out.shape[1] // o_r_)])
 
     return mac_out_to_delta(lo3, hi3, mask1, radix8=radix8)
 
 
 def mac_out_to_delta(lo3, hi3, mask1, radix8=True):
     """(A, B) channel MAC accumulators (L, mask1*R, b) -> acc-layout delta
-    (mask1*1024, b): DIT inverse + fold + A/B extraction."""
+    (mask1*1024, b): DIT inverse + fold + A/B extraction.  Rounded-key
+    mode (hi3 is None): single-channel inverse, delta = A directly."""
     b = lo3.shape[-1]
     o_r = mask1 * R
+    inv = dit_inverse2 if radix8 else dit_inverse
+    if hi3 is None:
+        folded = inv(lo3.reshape(L * o_r, b), o_r)   # (M*o_r, b) rows (j,o,k)
+        return folded.astype(jnp.int32).reshape(mask1 * N, b)
     # inverse input rows (t, ch, o, k)
     x = jnp.concatenate([
         lo3.reshape(L, 1, o_r, b), hi3.reshape(L, 1, o_r, b)], axis=1)
     x = x.reshape(L * 2 * o_r, b)
-    inv = dit_inverse2 if radix8 else dit_inverse
     folded = inv(x, 2 * o_r)                 # (M * 2*o_r, b) rows (j, ch, o, k)
     v = folded.reshape(M, 2, o_r, b)
     delta = normalize_dual(v[:, 0], v[:, 1]) # (M, o_r, b)
@@ -841,7 +864,7 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
     out = _mac_dot_raw(lhs, rhs, mac_dtype)
     return _combine_groups(
         [jax.lax.slice_in_dim(out, s * o_r, (s + 1) * o_r, axis=1)
-         for s in range(SHIFT_GROUPS)])
+         for s in range(out.shape[1] // o_r)])
 
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,

@@ -23,23 +23,25 @@ def tgsw_polynomial_decomp(sample, offset, decomp_length: int, log2_base: int):
             - jnp.int32(2**(log2_base - 1)))
 
 
-def bootstrap_key_limbs_host(bk_coeff):
+def bootstrap_key_limbs_host(bk_coeff, exact=True):
     """Host part of bootstrap-key preparation: exact forward transform
-    (u64 numpy) + mod-2^38 reduction + two-sided balanced radix-2^8 limb
-    split (limbs of +v and of -v mod 2^38; see ``transform.key_limbs_host``).
+    (u64 numpy) + mod-2^38 reduction + two-sided A/B limb split (limbs of
+    +v and of -v mod 2^38; see ``transform.key_limbs_host``).
 
     :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32.
-    :returns: (n, G, O, L, R, KEY_LIMBS, 2) int8 numpy array (compact; the
-        negacyclic sign-baking expansion into MAC-rhs layout happens on
-        device).
+    :param exact: False = rounded-key ('FFT') mode: 4 vhi limbs per side,
+        the 6-bit vlo remainder becomes key noise.
+    :returns: (n, G, O, L, R, KEY_LIMBS[_APPROX], 2) int8 numpy array
+        (compact; the negacyclic sign-baking expansion into MAC-rhs layout
+        happens on device).
     """
     from .. import native
 
     n_rows, mask1, decomp, mask1_o, poly_n = bk_coeff.shape
     flat = np.asarray(bk_coeff).reshape(-1, poly_n)
-    limbs = native.bootstrap_key_limbs(flat)          # (., L, R, KL, 2) i8
+    limbs = native.bootstrap_key_limbs(flat, exact)   # (., L, R, KL, 2) i8
     return limbs.reshape(
-        n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, dt.KEY_LIMBS, 2)
+        n_rows, mask1 * decomp, mask1_o, dt.L, dt.R, limbs.shape[-2], 2)
 
 
 # Module-level jit wrapper: the fresh-keygen prep and the serialized-key
@@ -51,10 +53,11 @@ _build_mac_rhs = jax.jit(dt.build_mac_rhs)
 def expand_bootstrap_key_device(limbs, chunk: int = 50):
     """Compact transformed limbs -> the HBM-resident MAC operand.
 
-    :param limbs: (n, G, O, L, R, KEY_LIMBS, 2) int8 (host or device).
+    :param limbs: (n, G, O, L, R, KEY_LIMBS[_APPROX], 2) int8 (host or
+        device); the limb count selects the exact (Q = 5*O*R) or
+        rounded-key (Q = 4*O*R) rhs mapping.
     :returns: (n, L, C, Q) int8 device array — per-row MAC rhs with the
-        negacyclic signs baked in (direct int8 MXU operand), C = G*2R,
-        Q = 5*O*R (live shift groups only).
+        negacyclic signs baked in (direct int8 MXU operand), C = G*2R.
     """
     # one H2D transfer for the whole compact form; per-chunk inputs are
     # device-side slices (the tunneled host->device link has high per-
@@ -66,16 +69,17 @@ def expand_bootstrap_key_device(limbs, chunk: int = 50):
     return jax.block_until_ready(out)
 
 
-def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50):
+def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50, exact=True):
     """Full host->device preparation of the bootstrap key for the MXU MAC
     (host transform + limb split, then on-device expansion).
 
     :param bk_coeff: (n, mask_size+1, decomp_length, mask_size+1, N) int32
         numpy array (coefficient-domain TGSW bootstrap key).
+    :param exact: False = rounded-key ('FFT') mode.
     :returns: see :func:`expand_bootstrap_key_device`.
     """
     return expand_bootstrap_key_device(
-        bootstrap_key_limbs_host(bk_coeff), chunk=chunk)
+        bootstrap_key_limbs_host(bk_coeff, exact=exact), chunk=chunk)
 
 
 def tgsw_transformed_external_mul(accum_a, bk_dev, bk_row_idx,

@@ -58,6 +58,16 @@ ACC_LIMBS = 2
 # (a0 x vlo products, weight 2^0); groups 1..4 are the A channel's
 # radix-2^8 pieces (weight 2^(8(s-1)) toward A, overall weight 2^6*2^(8(s-1)))
 SHIFT_GROUPS = 5
+# Approximate (rounded-key) mode — the transform_type='FFT' engine, the
+# accuracy class of the reference's f64 tangent-FFT path: the key spectrum
+# is rounded to multiples of 2^6 at key preparation (vhi = round(v/64), a
+# per-slot error in [-32, 31]), the B channel disappears entirely, and the
+# four vhi limbs ARE the four output groups (A carried mod 2^32; delta =
+# A_inv directly, no extraction shift).  Measured noise cost: 2^-17.1
+# torus std per polynomial product, ~2^-11.6 per 500-step gate — invisible
+# next to the 2^-8.1 bootstrap noise (see DESIGN.md).
+KEY_LIMBS_APPROX = 4
+SHIFT_GROUPS_APPROX = 4
 
 
 def _yshift(p, e):
@@ -131,15 +141,26 @@ def forward_i32(x):
 # --- key preparation (host limb split + device negacyclic expansion) ---
 
 
-def _limb_split_38(v):
+def _limb_split_38(v, exact=True):
     """A/B split of centered int64 values in [-2^37, 2^37): limb 0 is
     vlo = balanced(v mod 64) in [-32, 31]; limbs 1..4 are balanced
     radix-2^8 digits of vhi = (v - vlo) >> 6, valid mod 2^32 (the top
-    digit is truncated — the A channel wraps freely)."""
-    vlo = ((v + 32) & 63) - 32
-    limbs = [vlo.astype(np.int8)]
-    v = (v - vlo) >> 6
-    for _ in range(KEY_LIMBS - 1):
+    digit is truncated — the A channel wraps freely).
+
+    ``exact=False`` (the rounded-key / 'FFT' mode): vlo is DROPPED — the
+    value is rounded to vhi = round(v / 64) and only the 4 vhi limbs are
+    emitted (the per-slot error in [-32, 31] becomes key noise, the
+    accuracy class of the reference's f64 FFT path)."""
+    if exact:
+        vlo = ((v + 32) & 63) - 32
+        limbs = [vlo.astype(np.int8)]
+        v = (v - vlo) >> 6
+        n_rest = KEY_LIMBS - 1
+    else:
+        limbs = []
+        v = (v + 32) >> 6                    # round to nearest multiple of 64
+        n_rest = KEY_LIMBS_APPROX
+    for _ in range(n_rest):
         l0 = ((v + 128) & 255) - 128
         limbs.append(l0.astype(np.int8))
         v = (v - l0) >> KEY_LIMB_BITS
@@ -163,7 +184,7 @@ def relimb_from_radix8(old):
         [_limb_split_38(v[..., 0]), _limb_split_38(v[..., 1])], axis=-1)
 
 
-def key_limbs_host(bhat_u64):
+def key_limbs_host(bhat_u64, exact=True):
     """Host-side: split key transforms (residues mod 2^64, needed mod 2^38)
     into the A/B limb form (vlo + 4 vhi limbs, see ``_limb_split_38``) —
     TWO-SIDED: limbs of +v and of (-v mod 2^38).
@@ -176,15 +197,19 @@ def key_limbs_host(bhat_u64):
     MAC with int32 accumulation.
 
     :param bhat_u64: numpy uint64, output of ``ref.transform_ref.forward``.
-    :returns: numpy int8 (..., KEY_LIMBS, 2); [..., 0] = limbs(+v),
-        [..., 1] = limbs(-v mod 2^38).
+    :param exact: False = rounded-key ('FFT') mode — 4 vhi limbs per side,
+        vlo dropped as key noise (see ``_limb_split_38``).
+    :returns: numpy int8 (..., KEY_LIMBS, 2) (exact) or
+        (..., KEY_LIMBS_APPROX, 2); [..., 0] = limbs(+v),
+        [..., 1] = limbs(-v mod 2^38), each side rounded independently.
     """
     r = bhat_u64 & np.uint64(2**38 - 1)
     v = r.astype(np.int64)
     v = v - ((v >> 37) << 38)                    # center into [-2^37, 2^37)
     w = ((np.uint64(2**38) - r) & np.uint64(2**38 - 1)).astype(np.int64)
     w = w - ((w >> 37) << 38)
-    return np.stack([_limb_split_38(v), _limb_split_38(w)], axis=-1)
+    return np.stack([_limb_split_38(v, exact), _limb_split_38(w, exact)],
+                    axis=-1)
 
 
 def mac_dtype():
@@ -209,7 +234,7 @@ def _bitrev6(t):
 BITREV_L = np.array([_bitrev6(t) for t in range(L)])
 
 
-def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
+def build_mac_rhs(limbs, bitrev_order=True, n_groups=None):
     """Device-side: compact two-sided transformed-key limbs -> the MAC rhs
     operand with the negacyclic signs BAKED IN (pure int8; the matmul is a
     direct int8 x int8 -> int32 contraction, no runtime sign mask).
@@ -231,14 +256,25 @@ def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
     The a1*vhi_3 product (overall weight 2^6*2^32 = 0 mod 2^38) is dropped
     — the A channel is only needed mod 2^32.
 
-    :param limbs: (..., G, O, L, R, KEY_LIMBS, 2) int8 device array.
+    Rounded-key ('FFT') inputs self-describe: 4 limbs per side means the
+    vlo/B channel does not exist, so the groups are simply
+      s = 0..3 (A_s):  i=0 -> vhi_s;  i=1 -> vhi_{s-1} (s=0: 0)
+    (a1 x vhi_3 dropped — A is only needed mod 2^32) and Q = 4*O*R.
+
+    :param limbs: (..., G, O, L, R, KEY_LIMBS[_APPROX], 2) int8 device
+        array; the limb count selects the exact (5) or rounded-key (4)
+        group mapping.
     :param bitrev_order: store slot p = key frequency bitrev_6(p), matching
         the DIF-forward/DIT-inverse dataflow of ``ops/flat_engine`` (no
         bit-reversal permutation anywhere on the hot path).
-    :param n_groups: shift groups in Q.  The default 5 = SHIFT_GROUPS
-        (B + 4 A pieces; Q = 320).
+    :param n_groups: shift groups in Q; default = the limb count
+        (exact: 5 = SHIFT_GROUPS, B + 4 A pieces, Q = 320;
+        rounded: 4 = SHIFT_GROUPS_APPROX, Q = 256).
     :returns: (..., L, G*2R, n_groups*O*R) int8.
     """
+    exact = limbs.shape[-2] == KEY_LIMBS
+    if n_groups is None:
+        n_groups = limbs.shape[-2]
     g, o_sz = limbs.shape[-6], limbs.shape[-5]
     lead = limbs.shape[:-6]
     if bitrev_order:
@@ -255,6 +291,10 @@ def build_mac_rhs(limbs, bitrev_order=True, n_groups=5):
     zero = jnp.zeros(lead + (g, o_sz, L, R, R), jnp.int8)
 
     def limb(i, s):
+        if not exact:                   # rounded-key: groups ARE the A limbs
+            if i == 0:
+                return rows[..., s]     # a0 x vhi_s
+            return rows[..., s - 1] if s >= 1 else zero   # a1 x vhi_{s-1}
         if s == 0:                      # B group: a0 x vlo only
             return rows[..., 0] if i == 0 else zero
         if i == 0:                      # a0 x vhi_{s-1}

@@ -110,6 +110,9 @@ _TRANSFORMS = {
 # multiplication the scheme (and the reference) actually performs has one
 # small-coefficient operand (key bits, gadget digits), which
 # ``transformed_mul_device``/``negacyclic_mul_device`` cover exactly.
+# (These facade ops are always exact; the gate engine's rounded-key
+# 'FFT' accuracy mode applies only to the bootstrap-key external
+# products — see ``ops.transform`` and DESIGN.md.)
 
 def forward_device(x):
     """Device forward transform, (..., N) int32 -> (..., L, R) int32.

@@ -11,7 +11,7 @@ from ..numeric import Torus32, t32_to_phase_ref
 from . import polynomials_ref, tlwe_ref, tgsw_ref, lwe_ref
 
 
-def blind_rotate(accum_a, bk_coeff, bara, params):
+def blind_rotate(accum_a, bk_coeff, bara, params, exact=True):
     """Multiply the accumulator by X^{sum bara_i s_i} via the CMUX ladder.
 
     ACC <- BK_i x [(X^{bara_i} - 1) ACC] + ACC, for each key bit i.
@@ -21,19 +21,22 @@ def blind_rotate(accum_a, bk_coeff, bara, params):
     :param bk_coeff: coefficient-domain bootstrap key
         (n, mask_size+1, decomp_length, mask_size+1, N).
     :param bara: (batch..., n) int32 in [0, 2N).
+    :param exact: False = rounded-key ('FFT' mode) external products.
     """
     n = bk_coeff.shape[0]
+    mul = (tgsw_ref.tgsw_external_mul if exact
+           else tgsw_ref.tgsw_external_mul_rounded)
     accum = np.asarray(accum_a, Torus32).copy()
     for i in range(n):
         shifted = polynomials_ref.shift_polynomial(
             accum, bara[..., i], minus_one=True)
-        prod = tgsw_ref.tgsw_external_mul(shifted, bk_coeff, i, params)
+        prod = mul(shifted, bk_coeff, i, params)
         accum = (accum + prod).astype(Torus32)
     return accum
 
 
 def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
-              no_keyswitch=False):
+              no_keyswitch=False, exact=True):
     """result = LWE(mu) if phase(x) > 0 else LWE(-mu), rebuilt from scratch.
 
     Reference: ``nufhe/bootstrap.py:154-229``.
@@ -57,11 +60,13 @@ def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
         testvect, barb, invert_powers=True)
 
     accum, _ = tlwe_ref.tlwe_noiseless_trivial(testvectbis, mask_size)
-    accum = blind_rotate(accum, bk_coeff, bara, params)
+    accum = blind_rotate(accum, bk_coeff, bara, params, exact=exact)
 
     ex_a, ex_b = tlwe_ref.tlwe_extract_lwe_samples(accum)
-    ex_cv = np.full(ex_b.shape, blind_rotate_variance(params, lwe_a.shape[-1]),
-                    np.float32)
+    ex_cv = np.full(
+        ex_b.shape,
+        blind_rotate_variance(params, lwe_a.shape[-1], exact=exact),
+        np.float32)
 
     if no_keyswitch:
         return ex_a, ex_b, ex_cv
@@ -73,7 +78,7 @@ def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
     return out_a, out_b, (out_cv + ex_cv).astype(np.float32)
 
 
-def blind_rotate_variance(params, n_steps: int) -> float:
+def blind_rotate_variance(params, n_steps: int, exact=True) -> float:
     """Fresh-noise variance estimate through the n-step blind rotation
     (CGGI16 bound; sample extraction preserves variance):
 
@@ -83,6 +88,13 @@ def blind_rotate_variance(params, n_steps: int) -> float:
     The reference leaves the bootstrap output variances unfilled (TODO at
     ``nufhe/blind_rotate.py:254``); this estimate makes ``cv`` a usable
     noise-budget signal through gates.
+
+    ``exact=False`` adds the rounded-key ('FFT' mode) term: per external
+    product polynomial pair the key-spectrum rounding (error uniform in
+    [-32, 31] per slot) contributes an absolute output variance of
+    ~N * (B^2/12) * (64^2/12) / 32 in Torus32 units (the 1/32 reflects the
+    transform's zero-padded fold structure; matches the measured 2^14.9
+    per-pair error std within 3%).
     """
     tlwe_params = params.tlwe_params
     k = tlwe_params.mask_size
@@ -90,6 +102,11 @@ def blind_rotate_variance(params, n_steps: int) -> float:
     l = params.decomp_length
     log2b = params.bs_log2_base
     bk_var = float(tlwe_params.min_noise) ** 2
-    return n_steps * (
+    var = n_steps * (
         (k + 1) * l * n_poly * (2 ** (log2b - 1)) ** 2 * bk_var
         + (k * n_poly + 1) * 2.0 ** (-2 * l * log2b) / 4)
+    if not exact:
+        base_sq = float(2 ** log2b) ** 2
+        pair_var_abs = n_poly * (base_sq / 12.0) * (64.0 ** 2 / 12.0) / 32.0
+        var += n_steps * (k + 1) * l * pair_var_abs / 2.0 ** 64
+    return var

@@ -53,6 +53,35 @@ def tgsw_external_mul(accum, bk_coeff, bk_row_idx, params):
     return out.astype(Torus32)
 
 
+def tgsw_external_mul_rounded(accum, bk_coeff, bk_row_idx, params):
+    """Rounded-key ('FFT' mode) external product oracle: exactly what the
+    device engine computes when the key spectrum is rounded to multiples
+    of 64 per side (see ``ops.transform._limb_split_38(exact=False)``).
+
+    Deterministic and exact *given the rounding*: the digit transforms ride
+    u64 wraparound, each product uses the two-sided rounded key values, and
+    the unscaled inverse is taken mod 2^32 directly (the engine's
+    delta = A_inv path).
+    """
+    mask1 = accum.shape[-2]
+    decomp = tgsw_polynomial_decomp(accum, params)  # (..., mask1, l, N)
+    row = bk_coeff[bk_row_idx]                      # (mask1, l, mask1, N)
+
+    out = np.zeros_like(np.asarray(accum))
+    for out_idx in range(mask1):
+        acc_hat = None
+        for in_idx in range(mask1):
+            for d in range(params.decomp_length):
+                dh = transform_ref.forward(decomp[..., in_idx, d, :])
+                vh = transform_ref.forward(row[in_idx, d, out_idx])
+                vpos, vneg = transform_ref.rounded_key_sides(vh)
+                term = transform_ref.smul_sided(dh, vpos, vneg)
+                acc_hat = term if acc_hat is None else acc_hat + term
+        out[..., out_idx, :] = transform_ref.u64_to_i32(
+            transform_ref.inverse_unscaled(acc_hat))
+    return out.astype(Torus32)
+
+
 def tgsw_add_message(samples_a, messages, params):
     """result += message * H (gadget matrix on the diagonal).
 

@@ -114,6 +114,37 @@ def smul(p, q):
     return out
 
 
+def smul_sided(p, qpos, qneg):
+    """Two-sided S'-multiplication (the rounded-key engine's semantics):
+    the negacyclic wrap uses ``qneg`` (an independent decomposition of
+    -q mod 2^38) instead of negating ``qpos``, mirroring the device rhs
+    expansion in ``ops.transform.build_mac_rhs``.
+
+    out[k] = sum_{u<=k} p[u] qpos[k-u] + sum_{u>k} p[u] qneg[k-u+R]
+    (u64 wraparound)."""
+    out = np.zeros(np.broadcast_shapes(p.shape, qpos.shape), _U64)
+    for k in range(R):
+        u = np.arange(k + 1)
+        out[..., k] = (p[..., u] * qpos[..., k - u]).sum(-1)
+        u2 = np.arange(k + 1, R)
+        if len(u2):
+            out[..., k] += (p[..., u2] * qneg[..., k + R - u2]).sum(-1)
+    return out
+
+
+def rounded_key_sides(bhat_u64):
+    """Rounded-key ('FFT') mode key preparation, oracle side: the mod-2^38
+    residues of both sides (+v and -v mod 2^38) rounded to vhi = round(v/64)
+    (matching ``ops.transform._limb_split_38(exact=False)``), returned as
+    u64 wraparound values."""
+    r = bhat_u64 & np.uint64(2**38 - 1)
+    v = r.astype(np.int64)
+    v = v - ((v >> 37) << 38)
+    w = ((np.uint64(2**38) - r) & np.uint64(2**38 - 1)).astype(np.int64)
+    w = w - ((w >> 37) << 38)
+    return ((v + 32) >> 6).astype(_U64), ((w + 32) >> 6).astype(_U64)
+
+
 def inverse_unscaled(chat):
     """Unscaled inverse + fold: (..., L, R) -> (..., N) holding ``L * c``."""
     p = _dft_l(chat.copy(), inverse=True)

@@ -53,6 +53,40 @@ def test_bootstrap_device_matches_oracle(small_keys):
         assert errors_allclose(got[2], want[2])
 
 
+def test_bootstrap_rounded_key_matches_oracle():
+    """transform_type='FFT' (rounded-key engine): bit-exact against the
+    rounded oracle, including the cv carrying the extra key-quantization
+    variance term."""
+    rng = DeterministicRNG(77)
+    params = NuFHEParameters(lwe_size=LWE_SIZE, transform_type='FFT')
+    secret = NuFHESecretKey.from_rng(params, rng)
+    cloud = NuFHECloudKey.from_rng(params, rng, secret)
+    B = 4
+    lwe_a = rng.uniform_torus32((B, LWE_SIZE))
+    lwe_b = rng.uniform_torus32((B,))
+    mu = phase_to_t32(1, 8)
+
+    bk = cloud.bootstrap_key
+    ks = cloud.keyswitch_key
+    tp = params.tgsw_params
+    assert bk.limbs().shape[-2] == 4            # rounded-key limb form
+    assert bk.device().shape[-1] == (tp.tlwe_params.mask_size + 1) * 32 * 4
+
+    want = bootstrap_ref.bootstrap(
+        lwe_a, lwe_b, bk.bk_coeff, (ks.ks_a, ks.ks_b, ks.ks_cv),
+        mu, tp, (ks.decomp_length, ks.log2_base), exact=False)
+    arrays, meta = ks.device()
+    got = dboot.bootstrap_device(
+        jnp.asarray(lwe_a), jnp.asarray(lwe_b), bk.device(), arrays, meta,
+        int(mu), tp)
+    assert np.array_equal(np.asarray(got[0]), want[0])
+    assert np.array_equal(np.asarray(got[1]), want[1])
+    assert errors_allclose(got[2], want[2])
+    # the rounding variance term is present and positive
+    assert (bootstrap_ref.blind_rotate_variance(tp, LWE_SIZE, exact=False)
+            > bootstrap_ref.blind_rotate_variance(tp, LWE_SIZE))
+
+
 def test_bootstrap_decrypts_correctly(small_keys):
     """End-to-end: phase sign in, +-mu out, decryptable with the secret key.
 

@@ -137,8 +137,9 @@ def test_gate_mask_size_2():
 
 
 def test_transform_type_fft_variant():
-    """transform_type='FFT' produces identical ciphertext results (both are
-    served by the exact engine on device)."""
+    """transform_type='FFT' selects the rounded-key engine (the accuracy
+    class of the reference's f64 FFT path): smaller/faster key, gates
+    decrypt correctly."""
     rng = nf.DeterministicRNG(55)
     secret, cloud = nf.make_key_pair(rng, lwe_size=16, transform_type='FFT')
     vm = nf.VirtualMachine(cloud)

@@ -149,6 +149,28 @@ def test_external_mul_device_vs_ref(rng, mask_size):
         assert np.array_equal(got, want)
 
 
+@pytest.mark.parametrize("mask_size", [1, 2])
+def test_external_mul_rounded_device_vs_ref(rng, mask_size):
+    """Rounded-key ('FFT' mode) external product: Q shrinks to 4 groups and
+    the device result is bit-exact against the rounded oracle."""
+    params = NuFHEParameters(tlwe_mask_size=mask_size)
+    tp = params.tgsw_params
+    mask1 = mask_size + 1
+    accum = rng.randint(-2**31, 2**31, (2, mask1, N)).astype(np.int32)
+    bk_coeff = rng.randint(
+        -2**31, 2**31,
+        (2, mask1, tp.decomp_length, mask1, N)).astype(np.int32)
+
+    bk_dev = dtgsw.prepare_bootstrap_key_device(bk_coeff, exact=False)
+    assert bk_dev.shape[-1] == 4 * mask1 * 32
+    for row in range(2):
+        got = np.asarray(dtgsw.tgsw_transformed_external_mul(
+            jnp.asarray(accum), bk_dev, row,
+            int(tp.offset), tp.decomp_length, tp.bs_log2_base))
+        want = tgsw_ref.tgsw_external_mul_rounded(accum, bk_coeff, row, tp)
+        assert np.array_equal(got, want)
+
+
 def test_t32_to_phase(rng):
     from nufhe_tpu.numeric import t32_to_phase_ref
     x = rng.randint(-2**31, 2**31, (100,)).astype(np.int32)

@@ -41,6 +41,33 @@ def test_pallas_step_interpret_matches_oracle(rng):
     assert np.array_equal(got, want)
 
 
+def test_pallas_step_interpret_rounded_key(rng):
+    """The fused step kernel with the rounded-key ('FFT' mode) rhs: the
+    4-group/single-channel engine path inside the Pallas kernel, bit-exact
+    vs the rounded oracle."""
+    params = NuFHEParameters(transform_type='FFT')
+    tp = params.tgsw_params
+    mask1 = 2
+    b = 128
+    accum = rng.randint(-2**31, 2**31, (b, mask1, 1024)).astype(np.int32)
+    powers = rng.randint(0, 2 * 1024, (b,)).astype(np.int32)
+    bk_coeff = rng.randint(
+        -2**31, 2**31,
+        (1, mask1, tp.decomp_length, mask1, 1024)).astype(np.int32)
+    bk_dev = dtgsw.prepare_bootstrap_key_device(bk_coeff, exact=False)
+
+    shifted = polynomials_ref.shift_polynomial(accum, powers, minus_one=True)
+    want = accum + tgsw_ref.tgsw_external_mul_rounded(shifted, bk_coeff, 0, tp)
+
+    step = pbr.make_external_step_rows(
+        mask1, tp.decomp_length, tp.bs_log2_base, int(tp.offset),
+        lane_tile=128, mac_dtype=jnp.float32, interpret=True)
+    acc_rows = re_.acc_rows_from_n(jnp.asarray(accum))
+    got_rows = step(acc_rows, jnp.asarray(powers)[None, :], bk_dev[0])
+    got = np.asarray(re_.acc_n_from_rows(got_rows, mask1))
+    assert np.array_equal(got, want)
+
+
 def test_pallas_chunked_rotation_interpret(rng):
     """The chunked multi-step launch (scalar-prefetch key indexing,
     VMEM-revisited accumulator) equals per-step composition bit-exactly."""
