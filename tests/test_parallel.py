@@ -68,6 +68,45 @@ def test_sharded_bootstrap_matches_single_device(keys, mode):
     assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
 
 
+@pytest.mark.parametrize("mode", ["limbs", "slots"])
+def test_sharded_bootstrap_rounded_key(mode):
+    """Tensor-parallel external products in the rounded-key ('FFT') mode:
+    the single-channel psum/all_gather paths match single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    rng = DeterministicRNG(12)
+    params = NuFHEParameters(lwe_size=LWE_SIZE, transform_type='FFT')
+    secret = NuFHESecretKey.from_rng(params, rng)
+    cloud = NuFHECloudKey.from_rng(params, rng, secret)
+
+    B = 8
+    lwe_a = rng.uniform_torus32((B, LWE_SIZE))
+    lwe_b = rng.uniform_torus32((B,))
+    mu = int(phase_to_t32(1, 8))
+    tp = params.tgsw_params
+
+    bk_dev = cloud.bootstrap_key.device()
+    assert bk_dev.shape[-1] == 4 * (tp.tlwe_params.mask_size + 1) * 32
+    ks_arrays, ks_meta = cloud.keyswitch_key.device()
+
+    want = dboot.bootstrap_device(
+        jnp.asarray(lwe_a), jnp.asarray(lwe_b), bk_dev, ks_arrays, ks_meta,
+        mu, tp)
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    bk_sharded = pmesh.shard_bootstrap_key(bk_dev, mesh, mode=mode)
+    ks_repl = pmesh.replicate(ks_arrays, mesh)
+    a_sh = jax.device_put(
+        jnp.asarray(lwe_a), NamedSharding(mesh, P('data', None)))
+    b_sh = jax.device_put(jnp.asarray(lwe_b), NamedSharding(mesh, P('data')))
+
+    fn = pmesh.sharded_bootstrap_fn(mesh, ks_meta, mu, tp, mode=mode)
+    got = fn(a_sh, b_sh, bk_sharded, ks_repl)
+
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
 def test_data_parallel_gate_end_to_end(keys):
     """Encrypt -> shard -> sharded NAND bootstrap -> decrypt."""
     params, cloud, rng = keys

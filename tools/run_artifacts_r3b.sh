@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-3b benchmark artifacts (post A/B-split + rounded-key engine).
+# Run on the TPU rig with nothing else using the chip or heavy CPU.
+# Produces:
+#   BENCH_AB_r03.json       - NTT (exact) NAND at batch 16384, new engine
+#   BENCH_FFT_r03.json      - FFT (rounded-key) NAND at batch 16384
+#   BENCH_FFT_MUX_r03.json  - FFT MUX at batch 16384
+# plus step microbenchmarks appended to /tmp/microbench_r3b.log.
+set -u
+cd "$(dirname "$0")/.."
+
+run_bench() {  # $1 = env assignments, $2 = output file
+  echo "== $2 =="
+  env $1 python bench.py > /tmp/bench_r3b_out.json 2>/tmp/bench_r3b_err.json
+  cat /tmp/bench_r3b_out.json > "$2"
+  grep -o '{"detail".*' /tmp/bench_r3b_err.json | tail -1 >> "$2"
+  cat "$2"
+}
+
+echo "== step microbench (NTT exact engine) ==" | tee /tmp/microbench_r3b.log
+python tools/microbench.py rotation 16384 1024 2>&1 | tee -a /tmp/microbench_r3b.log
+echo "== parts breakdown ==" | tee -a /tmp/microbench_r3b.log
+python tools/microbench.py parts 4096 2>&1 | tee -a /tmp/microbench_r3b.log
+
+run_bench "NUFHE_BENCH_BATCH=16384" BENCH_AB_r03.json
+run_bench "NUFHE_BENCH_BATCH=16384 NUFHE_BENCH_TRANSFORM=fft" BENCH_FFT_r03.json
+run_bench "NUFHE_BENCH_BATCH=16384 NUFHE_BENCH_TRANSFORM=fft NUFHE_BENCH_GATE=mux" BENCH_FFT_MUX_r03.json
+
+echo "done; artifacts: BENCH_AB_r03.json BENCH_FFT_r03.json BENCH_FFT_MUX_r03.json"
