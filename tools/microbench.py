@@ -10,6 +10,10 @@ Usage:
     python tools/microbench.py parts [batch]              # step components
     python tools/microbench.py keyswitch [batch]          # keyswitch share
     python tools/microbench.py rotation [batch] [lt]      # chunked launches
+
+``NUFHE_BENCH_TRANSFORM=fft`` switches step/rotation to the rounded-key
+engine (the 'FFT' accuracy mode); the default is the exact engine.
+``parts`` is exact-engine only (its bodies hard-code dual-channel shapes).
 """
 
 import os
@@ -58,6 +62,12 @@ def timed_chain(fn, x, iters=4, inner=48):
     return best
 
 
+def _exact():
+    """NUFHE_BENCH_TRANSFORM=fft selects the rounded-key engine (same env
+    var as bench.py); default is the exact ('NTT') engine."""
+    return os.environ.get("NUFHE_BENCH_TRANSFORM", "ntt").lower() != "fft"
+
+
 def _setup(batch):
     from nufhe_tpu.params import NuFHEParameters
     from nufhe_tpu.ops import rows_engine as re_
@@ -71,7 +81,7 @@ def _setup(batch):
     powers = jnp.asarray(rs.randint(0, 2048, (1, batch)).astype(np.int32))
     bk_coeff = rs.randint(
         -2**31, 2**31, (1, 2, tp.decomp_length, 2, 1024)).astype(np.int32)
-    row = dtgsw.prepare_bootstrap_key_device(bk_coeff)[0]
+    row = dtgsw.prepare_bootstrap_key_device(bk_coeff, exact=_exact())[0]
     return tp, re_, acc, powers, row
 
 
@@ -86,8 +96,10 @@ def bench_step(batch, lane_tile):
     f = jax.jit(lambda a: step(a, powers, row))
     t = timed_chain(f, acc)
     ms_bit = t * 500 / batch * 1000
-    print(f"fused CMUX step B={batch} lt={lane_tile}: {t*1000:.3f} ms "
-          f"-> {ms_bit:.5f} ms/bit (x{0.35/ms_bit:.2f} vs baseline)")
+    mode = "exact" if _exact() else "rounded-key"
+    print(f"fused CMUX step [{mode}] B={batch} lt={lane_tile}: "
+          f"{t*1000:.3f} ms -> {ms_bit:.5f} ms/bit "
+          f"(x{0.35/ms_bit:.2f} vs NTT baseline)")
 
 
 def bench_parts(batch):
@@ -255,6 +267,7 @@ def bench_rotation(batch, lane_tile, n_steps=100):
         return jax.lax.fori_loop(0, n_steps, body, a)
 
     results = {}
+    print(f"engine: {'exact' if _exact() else 'rounded-key'}")
     f = lambda a: per_step(a, bk, bara_t)  # noqa: E731
     t = timed_chain(f, acc, iters=3, inner=2)
     results['per-step'] = t

@@ -19,6 +19,8 @@ run_bench() {  # $1 = env assignments, $2 = output file
 
 echo "== step microbench (NTT exact engine) ==" | tee /tmp/microbench_r3b.log
 python tools/microbench.py rotation 16384 1024 2>&1 | tee -a /tmp/microbench_r3b.log
+echo "== step microbench (rounded-key 'FFT' engine) ==" | tee -a /tmp/microbench_r3b.log
+NUFHE_BENCH_TRANSFORM=fft python tools/microbench.py rotation 16384 1024 2>&1 | tee -a /tmp/microbench_r3b.log
 echo "== parts breakdown ==" | tee -a /tmp/microbench_r3b.log
 python tools/microbench.py parts 4096 2>&1 | tee -a /tmp/microbench_r3b.log
 
