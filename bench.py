@@ -75,10 +75,23 @@ def main():
     key_blob = buf.getvalue()
     t0 = time.time()
     cloud_loaded = nf.NuFHECloudKey.loads(key_blob)
-    cloud_loaded.bootstrap_key.device()
+    key_deser_t = time.time() - t0
+    # phase split: one H2D of the compact limb container, then the
+    # on-device rhs expansion (what BootstrapKey.device() does in one go)
+    import jax.numpy as jnp
+    from nufhe_tpu.ops import tgsw as dtgsw
+    t0 = time.time()
+    limbs_dev = jax.block_until_ready(
+        jnp.asarray(cloud_loaded.bootstrap_key.limbs()))
+    key_upload_t = time.time() - t0
+    t0 = time.time()
+    dtgsw.expand_bootstrap_key_device(limbs_dev)
+    key_expand_t = time.time() - t0
+    t0 = time.time()
     cloud_loaded.keyswitch_key.device()
-    key_load_t = time.time() - t0
-    del cloud_loaded
+    key_ks_t = time.time() - t0
+    key_load_t = key_deser_t + key_upload_t + key_expand_t + key_ks_t
+    del cloud_loaded, limbs_dev
 
     bits_a = np.random.RandomState(0).randint(0, 2, batch).astype(bool)
     bits_b = np.random.RandomState(1).randint(0, 2, batch).astype(bool)
@@ -178,6 +191,11 @@ def main():
             "keygen_host_s": round(keygen_host_t, 2),
             "key_prep_s": round(key_prep_t, 2),
             "key_load_s": round(key_load_t, 2),
+            "key_load_phases_s": {
+                "deserialize": round(key_deser_t, 2),
+                "bk_upload": round(key_upload_t, 2),
+                "bk_expand": round(key_expand_t, 2),
+                "ks_prep": round(key_ks_t, 2)},
             "sync_overhead_s": round(sync_t, 4),
             "correct": ok,
             "max_noise_frac": round(max_noise_frac, 6),
