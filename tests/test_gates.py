@@ -139,7 +139,9 @@ def test_gate_mask_size_2():
 def test_transform_type_fft_variant():
     """transform_type='FFT' selects the rounded-key engine (the accuracy
     class of the reference's f64 FFT path): smaller/faster key, gates
-    decrypt correctly."""
+    decrypt correctly — including through a cloud-key serialization
+    round-trip (the format-3 container self-describes the 4-limb rounded
+    payload via its limb axis)."""
     rng = nf.DeterministicRNG(55)
     secret, cloud = nf.make_key_pair(rng, lwe_size=16, transform_type='FFT')
     vm = nf.VirtualMachine(cloud)
@@ -149,6 +151,12 @@ def test_transform_type_fft_variant():
     cb = nf.encrypt(rng, secret, b)
     res = vm.gate_or(ca, cb)
     assert np.array_equal(nf.decrypt(secret, res), a | b)
+
+    reloaded = nf.NuFHECloudKey.loads(cloud.dumps())
+    assert reloaded.params.transform_type == 'FFT'
+    assert reloaded.bootstrap_key.limbs().shape[-2] == 4  # rounded payload
+    res2 = nf.VirtualMachine(reloaded).gate_or(ca, cb)
+    assert np.array_equal(nf.decrypt(secret, res2), a | b)
 
 
 @pytest.mark.perf
