@@ -81,17 +81,19 @@ def main():
     import jax.numpy as jnp
     from nufhe_tpu.ops import tgsw as dtgsw
     t0 = time.time()
-    limbs_dev = jax.block_until_ready(
-        jnp.asarray(cloud_loaded.bootstrap_key.limbs()))
+    pos, delta = cloud_loaded.bootstrap_key.compact()
+    pos_dev = jax.block_until_ready(jnp.asarray(pos))
+    delta_dev = None if delta is None else jax.block_until_ready(
+        jnp.asarray(delta))
     key_upload_t = time.time() - t0
     t0 = time.time()
-    dtgsw.expand_bootstrap_key_device(limbs_dev)
+    dtgsw.expand_bootstrap_key_device_compact(pos_dev, delta_dev)
     key_expand_t = time.time() - t0
     t0 = time.time()
     cloud_loaded.keyswitch_key.device()
     key_ks_t = time.time() - t0
     key_load_t = key_deser_t + key_upload_t + key_expand_t + key_ks_t
-    del cloud_loaded, limbs_dev
+    del cloud_loaded, pos_dev, delta_dev
 
     bits_a = np.random.RandomState(0).randint(0, 2, batch).astype(bool)
     bits_b = np.random.RandomState(1).randint(0, 2, batch).astype(bool)

@@ -102,14 +102,15 @@ class BootstrapKey:
     (n, G, O, L, R, KEY_LIMBS, 2)).  Serialization stores the transformed
     form — the analogue of the reference storing
     ``TransformedTGswSampleArray`` (``nufhe/tgsw.py:99-130``,
-    ``bootstrap.py:78-86``) — so a loaded cloud key is device-ready: the
-    only load-time work is a ~66 MB upload plus the on-device negacyclic
-    expansion.  The full (n, L, C, Q) MAC operand is derived lazily and
+    ``bootstrap.py:78-86``) — and only its +v SIDE (format 4; the -v side is derived on device,
+    ``transform.two_sided_limbs_device``), so a loaded cloud key is
+    device-ready: load-time work is a ~41 MB (exact) / ~33 MB (rounded)
+    upload plus the on-device derivation + negacyclic expansion.  The full (n, L, C, Q) MAC operand is derived lazily and
     cached in HBM.  Reference: ``nufhe/bootstrap.py:44-92``.
     """
 
     def __init__(self, in_out_params: LweParams, bk_params: TGswParams,
-                 bk_coeff, cv, limbs=None):
+                 bk_coeff, cv, limbs=None, compact=None):
         self.in_out_params = in_out_params
         self.bk_params = bk_params
         self.accum_params = bk_params.tlwe_params
@@ -117,6 +118,7 @@ class BootstrapKey:
         self.bk_coeff = bk_coeff
         self.cv = cv
         self._limbs = limbs
+        self._compact = compact      # (pos_limbs, delta) one-sided form
         self._device = None
 
     @classmethod
@@ -153,11 +155,26 @@ class BootstrapKey:
         it was written with.
         """
         if self._limbs is None:
-            from .ops import tgsw as dtgsw
-            exact = self.accum_params.transform_type != 'FFT'
-            self._limbs = dtgsw.bootstrap_key_limbs_host(
-                self.bk_coeff, exact=exact)
+            if self._compact is not None:
+                # format-4 container: rebuild the canonical two-sided form
+                # on host (lossless; see transform.one_sided_limbs_host)
+                from .ops import transform as dtransform
+                self._limbs = dtransform.two_sided_limbs_host(*self._compact)
+            else:
+                from .ops import tgsw as dtgsw
+                exact = self.accum_params.transform_type != 'FFT'
+                self._limbs = dtgsw.bootstrap_key_limbs_host(
+                    self.bk_coeff, exact=exact)
         return self._limbs
+
+    def compact(self):
+        """One-sided compact form (pos_limbs, delta) — the serialized and
+        uploaded payload; the -v side is derived on device at expansion
+        (half the container / H2D bytes of the two-sided form)."""
+        if self._compact is None:
+            from .ops import transform as dtransform
+            self._compact = dtransform.one_sided_limbs_host(self.limbs())
+        return self._compact
 
     def device(self):
         """The HBM-resident transformed/limb/expanded key for the MXU MAC."""
@@ -165,19 +182,32 @@ class BootstrapKey:
             from . import _maybe_enable_persistent_compilation_cache
             from .ops import tgsw as dtgsw
             _maybe_enable_persistent_compilation_cache()
-            self._device = dtgsw.expand_bootstrap_key_device(self.limbs())
+            self._device = dtgsw.expand_bootstrap_key_device_compact(
+                *self.compact())
         return self._device
 
     def dump(self, file_obj):
+        pos, delta = self.compact()
+        arrays = {"limbs_pos": pos, "cv": self.cv}
+        if delta is not None:
+            arrays["delta_bits"] = np.packbits(delta.reshape(-1))
         serialization.dump(
-            file_obj,
-            {"kind": "BootstrapKey", "format": 3},
-            {"limbs": self.limbs(), "cv": self.cv})
+            file_obj, {"kind": "BootstrapKey", "format": 4}, arrays)
 
     @classmethod
     def load(cls, file_obj, in_out_params, bk_params):
         meta, arrays = serialization.load(file_obj)
         assert meta["kind"] == "BootstrapKey"
+        if "limbs_pos" in arrays:    # format 4: one-sided compact form
+            pos = arrays["limbs_pos"]
+            delta = None
+            if "delta_bits" in arrays:
+                delta = np.unpackbits(
+                    arrays["delta_bits"],
+                    count=int(np.prod(pos.shape[:-1]))).reshape(
+                        pos.shape[:-1])
+            return cls(in_out_params, bk_params, None, arrays["cv"],
+                       compact=(pos, delta))
         if "limbs" in arrays:        # format 2/3: device-ready transformed key
             limbs = arrays["limbs"]
             if meta.get("format", 2) < 3:

@@ -69,6 +69,25 @@ def expand_bootstrap_key_device(limbs, chunk: int = 50):
     return jax.block_until_ready(out)
 
 
+_two_sided_limbs = jax.jit(dt.two_sided_limbs_device)
+
+
+def expand_bootstrap_key_device_compact(pos, delta=None, chunk: int = 50):
+    """One-sided compact upload path: the H2D transfer moves HALF the
+    bytes of the two-sided form; the -v side is derived on device in
+    int32 (``transform.two_sided_limbs_device``), then expanded as usual.
+
+    :param pos: (n, G, O, L, R, KEY_LIMBS[_APPROX]) int8 (host or device).
+    :param delta: (n, G, O, L, R) 0/1 rounding-correction bits (rounded
+        mode) or None (exact mode).
+    """
+    pos = jnp.asarray(pos)
+    if delta is not None:
+        delta = jnp.asarray(delta)
+    return expand_bootstrap_key_device(
+        _two_sided_limbs(pos, delta), chunk=chunk)
+
+
 def prepare_bootstrap_key_device(bk_coeff, chunk: int = 50, exact=True):
     """Full host->device preparation of the bootstrap key for the MXU MAC
     (host transform + limb split, then on-device expansion).

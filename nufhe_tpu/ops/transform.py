@@ -212,6 +212,114 @@ def key_limbs_host(bhat_u64, exact=True):
                     axis=-1)
 
 
+def one_sided_limbs_host(limbs):
+    """Compact (serialized / uploaded) form of the two-sided limb split:
+    the +v side only, plus — rounded mode only — ONE correction bit per
+    slot.  The -v side is fully derivable (``two_sided_limbs_device``):
+
+    - exact mode: v = vlo + 64*vhi reconstructs v mod 2^38 losslessly, so
+      the negative side is wlo = -vlo (with the single boundary case
+      vlo = -32 -> wlo = -32, carry 1) and whi = -vhi + carry mod 2^32;
+    - rounded mode: the two sides were rounded INDEPENDENTLY
+      (q± = floor((±v + 32)/64)), which differ from plain negation by
+      delta = [v = -32 mod 64]: q- = -q+ + delta.  delta is recovered here
+      as (q+ + q-) mod 2^32 from the stored sides.
+
+    Halves the container and the host->device transfer vs the two-sided
+    form (the reference ships its full transformed key,
+    ``nufhe/tgsw.py:99-130``; there is no analogue of this compaction).
+
+    :param limbs: int8 (..., KEY_LIMBS[_APPROX], 2) from
+        :func:`key_limbs_host`.
+    :returns: (pos, delta): ``pos`` int8 (..., KEY_LIMBS[_APPROX]);
+        ``delta`` uint8 0/1 of ``pos.shape[:-1]`` (rounded mode) or None.
+    """
+    limbs = np.asarray(limbs)
+    pos = np.ascontiguousarray(limbs[..., 0])
+    if limbs.shape[-2] == KEY_LIMBS:
+        return pos, None
+    w = (np.arange(KEY_LIMBS_APPROX, dtype=np.int64) * KEY_LIMB_BITS)
+    qp = (limbs[..., 0].astype(np.int64) << w).sum(-1)
+    qn = (limbs[..., 1].astype(np.int64) << w).sum(-1)
+    delta = ((qp + qn) & np.int64(0xFFFFFFFF)).astype(np.uint8)
+    if delta.size and delta.max() > 1:
+        raise ValueError("inconsistent two-sided limbs (delta not 0/1)")
+    return pos, delta
+
+
+def _neg_side_digits(whi, n_digs, xp):
+    """Balanced radix-2^8 digits of ``whi`` (mod 2^32 semantics); ``xp``
+    is numpy (int64 host path) or jnp (int32 device path — wraparound is
+    the mod-2^32 arithmetic, and digits 0..3 depend only on the low 32
+    bits, so both agree bit-exactly)."""
+    digs = []
+    w = whi
+    for _ in range(n_digs):
+        d = ((w + 128) & 255) - 128
+        digs.append(d.astype(xp.int8))
+        w = (w - d) >> KEY_LIMB_BITS
+    return digs
+
+
+def two_sided_limbs_device(pos, delta=None):
+    """Device inverse of :func:`one_sided_limbs_host`: rebuild the
+    (..., KL, 2) int8 two-sided form from the +v side, in pure int32
+    (TPU-native; the i32 wraparound IS the required mod-2^32 arithmetic).
+    Bit-equal to :func:`key_limbs_host` — asserted by
+    ``tests/test_transform_ref.py``.
+
+    :param pos: (..., KEY_LIMBS[_APPROX]) int8 (host or device).
+    :param delta: (...,) 0/1 array (rounded mode), else None.
+    """
+    pos = jnp.asarray(pos)
+    exact = pos.shape[-1] == KEY_LIMBS
+    p32 = pos.astype(jnp.int32)
+    if exact:
+        vlo = p32[..., 0]
+        digs = p32[..., 1:]
+        boundary = vlo == -32
+        carry = jnp.where(boundary, jnp.int32(1), jnp.int32(0))
+        wlo = jnp.where(boundary, jnp.int32(-32), -vlo)
+    else:
+        if delta is None:
+            raise ValueError("rounded-mode compact limbs need delta bits")
+        digs = p32
+        carry = jnp.asarray(delta).astype(jnp.int32)
+    n_digs = digs.shape[-1]
+    vhi = jnp.zeros(digs.shape[:-1], jnp.int32)
+    for j in range(n_digs):
+        vhi = vhi + (digs[..., j] << (KEY_LIMB_BITS * j))
+    neg = ([wlo.astype(jnp.int8)] if exact else []) + \
+        _neg_side_digits(carry - vhi, n_digs, jnp)
+    return jnp.stack([pos, jnp.stack(neg, axis=-1)], axis=-1)
+
+
+def two_sided_limbs_host(pos, delta=None):
+    """Host (numpy) twin of :func:`two_sided_limbs_device` — used to
+    materialize the canonical two-sided form from a compact (format-4)
+    container without touching the device."""
+    pos = np.asarray(pos)
+    exact = pos.shape[-1] == KEY_LIMBS
+    p64 = pos.astype(np.int64)
+    if exact:
+        vlo = p64[..., 0]
+        digs = p64[..., 1:]
+        boundary = vlo == -32
+        carry = boundary.astype(np.int64)
+        wlo = np.where(boundary, np.int64(-32), -vlo)
+    else:
+        if delta is None:
+            raise ValueError("rounded-mode compact limbs need delta bits")
+        digs = p64
+        carry = np.asarray(delta).astype(np.int64)
+    n_digs = digs.shape[-1]
+    w = (np.arange(n_digs, dtype=np.int64) * KEY_LIMB_BITS)
+    vhi = (digs << w).sum(-1)
+    neg = ([wlo.astype(np.int8)] if exact else []) + \
+        _neg_side_digits(carry - vhi, n_digs, np)
+    return np.stack([pos, np.stack(neg, axis=-1)], axis=-1)
+
+
 def mac_dtype():
     """MAC operand dtype: int8 on TPU (native MXU int8 x int8 -> int32,
     2x bf16 peak, no output cast), f32 elsewhere (exact for 8-bit operands:

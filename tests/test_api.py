@@ -83,6 +83,38 @@ def test_bootstrap_key_format2_backcompat(ctx_keys):
     assert np.array_equal(loaded.limbs(), new)
 
 
+def test_bootstrap_key_format3_backcompat(ctx_keys):
+    """Round-3a (format-3) containers stored BOTH sides of the A/B limb
+    split; loading one must behave identically to the current one-sided
+    format-4 path."""
+    from nufhe_tpu import serialization
+    from nufhe_tpu.keys import BootstrapKey
+
+    ctx, secret, cloud = ctx_keys
+    bk = cloud.bootstrap_key
+    buf = io.BytesIO()
+    serialization.dump(buf, {"kind": "BootstrapKey", "format": 3},
+                       {"limbs": bk.limbs(), "cv": bk.cv})
+    buf.seek(0)
+    loaded = BootstrapKey.load(buf, bk.in_out_params, bk.bk_params)
+    assert np.array_equal(loaded.limbs(), bk.limbs())
+
+
+def test_bootstrap_key_format4_halves_container(ctx_keys):
+    """The format-4 container stores only the +v side: about half the
+    bytes of the two-sided payload, and loads bit-identically."""
+    ctx, secret, cloud = ctx_keys
+    bk = cloud.bootstrap_key
+    buf = io.BytesIO()
+    bk.dump(buf)
+    two_sided_bytes = bk.limbs().nbytes
+    assert buf.tell() < 0.6 * two_sided_bytes
+    buf.seek(0)
+    from nufhe_tpu.keys import BootstrapKey
+    loaded = BootstrapKey.load(buf, bk.in_out_params, bk.bk_params)
+    assert np.array_equal(loaded.limbs(), bk.limbs())
+
+
 def test_ciphertext_serialization(ctx_keys):
     ctx, secret, cloud = ctx_keys
     bits = np.array([[True, False], [False, True]])

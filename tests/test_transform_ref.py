@@ -110,3 +110,29 @@ def test_shift_polynomial(rng, invert_powers, minus_one):
         if minus_one:
             want = (want - a[i]).astype(np.int32)
         assert np.array_equal(got[i], want)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_one_sided_limb_roundtrip(rng, exact):
+    """The compact (format-4) key form: two-sided -> one-sided -> derived
+    two-sided is bit-exact, on host AND on device (int32-only path),
+    including the vlo = -32 / remainder = -32 boundary slots."""
+    from nufhe_tpu.ops import transform as dt
+
+    # dense random mod-2^64 residues, plus forced boundary cases:
+    # v = -32 mod 64 exercises both the exact-mode carry and the
+    # rounded-mode independent-rounding delta bit
+    vals = rng.randint(0, 2**64, (1024,), dtype=np.uint64)
+    vals[:64] = (vals[:64] & ~np.uint64(63)) | np.uint64(2**38 - 32)
+    vals = vals.reshape(16, 64)
+
+    two = dt.key_limbs_host(vals, exact=exact)
+    pos, delta = dt.one_sided_limbs_host(two)
+    assert pos.shape == two.shape[:-1]
+    assert (delta is None) == exact
+
+    host = dt.two_sided_limbs_host(pos, delta)
+    assert np.array_equal(host, two)
+
+    dev = np.asarray(dt.two_sided_limbs_device(pos, delta))
+    assert np.array_equal(dev, two)

@@ -21,6 +21,8 @@ echo "== step microbench (NTT exact engine) ==" | tee /tmp/microbench_r3b.log
 python tools/microbench.py rotation 16384 1024 2>&1 | tee -a /tmp/microbench_r3b.log
 echo "== step microbench (rounded-key 'FFT' engine) ==" | tee -a /tmp/microbench_r3b.log
 NUFHE_BENCH_TRANSFORM=fft python tools/microbench.py rotation 16384 1024 2>&1 | tee -a /tmp/microbench_r3b.log
+echo "== rounded engine lane-tile 2048 probe (exact engine OOMs here) ==" | tee -a /tmp/microbench_r3b.log
+NUFHE_BENCH_TRANSFORM=fft python tools/microbench.py step 16384 2048 2>&1 | tee -a /tmp/microbench_r3b.log
 echo "== parts breakdown ==" | tee -a /tmp/microbench_r3b.log
 python tools/microbench.py parts 4096 2>&1 | tee -a /tmp/microbench_r3b.log
 
