@@ -279,15 +279,28 @@ class LweKeyswitchKey:
         return self._device
 
     def dump(self, file_obj):
+        # format 2: digit-0 slices are trivial zero encryptions by
+        # construction (the reference zeroes them too, lwe_gpu.mako:18-56)
+        # — don't spend container bytes on them (1/base of the payload)
         serialization.dump(
             file_obj,
-            {"kind": "LweKeyswitchKey", "log2_base": self.log2_base},
-            {"ks_a": self.ks_a, "ks_b": self.ks_b, "ks_cv": self.ks_cv})
+            {"kind": "LweKeyswitchKey", "log2_base": self.log2_base,
+             "format": 2},
+            {"ks_a_nz": self.ks_a[:, :, 1:],
+             "ks_b_nz": self.ks_b[:, :, 1:],
+             "ks_cv_nz": self.ks_cv[:, :, 1:]})
 
     @classmethod
     def load(cls, file_obj):
         meta, arrays = serialization.load(file_obj)
         assert meta["kind"] == "LweKeyswitchKey"
+        if meta.get("format", 1) >= 2:
+            nz = arrays["ks_a_nz"]
+            pad = [(0, 0), (0, 0), (1, 0)]
+            ks_a = np.pad(nz, pad + [(0, 0)])
+            ks_b = np.pad(arrays["ks_b_nz"], pad)
+            ks_cv = np.pad(arrays["ks_cv_nz"], pad)
+            return cls(ks_a, ks_b, ks_cv, int(meta["log2_base"]))
         return cls(arrays["ks_a"], arrays["ks_b"], arrays["ks_cv"],
                    int(meta["log2_base"]))
 

@@ -115,6 +115,24 @@ def test_bootstrap_key_format4_halves_container(ctx_keys):
     assert np.array_equal(loaded.limbs(), bk.limbs())
 
 
+def test_keyswitch_key_container_drops_zero_slice(ctx_keys):
+    """Format-2 keyswitch containers omit the trivial digit-0 slice and
+    reconstruct it losslessly on load."""
+    from nufhe_tpu.keys import LweKeyswitchKey
+
+    ctx, secret, cloud = ctx_keys
+    ks = cloud.keyswitch_key
+    buf = io.BytesIO()
+    ks.dump(buf)
+    assert buf.tell() < 0.8 * (ks.ks_a.nbytes + ks.ks_b.nbytes
+                               + ks.ks_cv.nbytes)
+    buf.seek(0)
+    loaded = LweKeyswitchKey.load(buf)
+    assert np.array_equal(loaded.ks_a, ks.ks_a)
+    assert np.array_equal(loaded.ks_b, ks.ks_b)
+    assert np.array_equal(loaded.ks_cv, ks.ks_cv)
+
+
 def test_ciphertext_serialization(ctx_keys):
     ctx, secret, cloud = ctx_keys
     bits = np.array([[True, False], [False, True]])
