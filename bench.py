@@ -66,8 +66,9 @@ def main():
     cloud.keyswitch_key.device()
     key_prep_t = time.time() - t0
 
-    # serialized-key load path: a format-3 container stores the transformed
-    # two-sided limb form, so load -> HBM skips the host transform entirely
+    # serialized-key load path: a format-4 container stores the transformed
+    # limb form ONE-SIDED (the -v side is derived on device), so load ->
+    # HBM skips the host transform entirely and uploads half the bytes
     # (reference analogue: nufhe/tgsw.py:99-130 stores the transformed key)
     import io
     buf = io.BytesIO()

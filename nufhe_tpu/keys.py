@@ -281,7 +281,13 @@ class LweKeyswitchKey:
     def dump(self, file_obj):
         # format 2: digit-0 slices are trivial zero encryptions by
         # construction (the reference zeroes them too, lwe_gpu.mako:18-56)
-        # — don't spend container bytes on them (1/base of the payload)
+        # — don't spend container bytes on them (1/base of the payload).
+        # Guard the invariant: a hand-built key with nonzero slice 0
+        # must not be silently changed by a dump/load round-trip.
+        if np.any(self.ks_a[:, :, 0]) or np.any(self.ks_b[:, :, 0]):
+            raise ValueError(
+                "keyswitch key digit-0 slice is not the trivial zero "
+                "encryption; refusing the lossy format-2 dump")
         serialization.dump(
             file_obj,
             {"kind": "LweKeyswitchKey", "log2_base": self.log2_base,

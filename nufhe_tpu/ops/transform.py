@@ -241,10 +241,10 @@ def one_sided_limbs_host(limbs):
     w = (np.arange(KEY_LIMBS_APPROX, dtype=np.int64) * KEY_LIMB_BITS)
     qp = (limbs[..., 0].astype(np.int64) << w).sum(-1)
     qn = (limbs[..., 1].astype(np.int64) << w).sum(-1)
-    delta = ((qp + qn) & np.int64(0xFFFFFFFF)).astype(np.uint8)
-    if delta.size and delta.max() > 1:
+    delta64 = (qp + qn) & np.int64(0xFFFFFFFF)
+    if delta64.size and delta64.max() > 1:
         raise ValueError("inconsistent two-sided limbs (delta not 0/1)")
-    return pos, delta
+    return pos, delta64.astype(np.uint8)
 
 
 def _neg_side_digits(whi, n_digs, xp):

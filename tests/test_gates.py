@@ -140,8 +140,8 @@ def test_transform_type_fft_variant():
     """transform_type='FFT' selects the rounded-key engine (the accuracy
     class of the reference's f64 FFT path): smaller/faster key, gates
     decrypt correctly — including through a cloud-key serialization
-    round-trip (the format-3 container self-describes the 4-limb rounded
-    payload via its limb axis)."""
+    round-trip (the format-4 container self-describes the 4-limb rounded
+    payload via its compact limb axis + delta bits)."""
     rng = nf.DeterministicRNG(55)
     secret, cloud = nf.make_key_pair(rng, lwe_size=16, transform_type='FFT')
     vm = nf.VirtualMachine(cloud)

@@ -68,7 +68,7 @@ def _exact():
     return os.environ.get("NUFHE_BENCH_TRANSFORM", "ntt").lower() != "fft"
 
 
-def _setup(batch):
+def _setup(batch, exact=None):
     from nufhe_tpu.params import NuFHEParameters
     from nufhe_tpu.ops import rows_engine as re_
     from nufhe_tpu.ops import tgsw as dtgsw
@@ -81,7 +81,9 @@ def _setup(batch):
     powers = jnp.asarray(rs.randint(0, 2048, (1, batch)).astype(np.int32))
     bk_coeff = rs.randint(
         -2**31, 2**31, (1, 2, tp.decomp_length, 2, 1024)).astype(np.int32)
-    row = dtgsw.prepare_bootstrap_key_device(bk_coeff, exact=_exact())[0]
+    if exact is None:
+        exact = _exact()
+    row = dtgsw.prepare_bootstrap_key_device(bk_coeff, exact=exact)[0]
     return tp, re_, acc, powers, row
 
 
@@ -107,7 +109,8 @@ def bench_parts(batch):
     from jax.experimental.pallas import tpu as pltpu
     from nufhe_tpu.ops import transform as dt
 
-    tp, re_, acc, powers, row = _setup(batch)
+    # parts bodies hard-code the exact engine's dual-channel shapes
+    tp, re_, acc, powers, row = _setup(batch, exact=True)
     lt = min(512, batch)
     dl, l2b, off = tp.decomp_length, tp.bs_log2_base, int(tp.offset)
     c_size, q_size = row.shape[-2], row.shape[-1]
