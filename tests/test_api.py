@@ -81,6 +81,10 @@ def test_bootstrap_key_format2_backcompat(ctx_keys):
     buf.seek(0)
     loaded = BootstrapKey.load(buf, bk.in_out_params, bk.bk_params)
     assert np.array_equal(loaded.limbs(), new)
+    # the full legacy chain: radix-8 -> A/B re-split -> one-sided compact
+    # -> device derivation -> expanded MAC rhs equals the fresh key's
+    assert np.array_equal(np.asarray(loaded.device()),
+                          np.asarray(bk.device()))
 
 
 def test_bootstrap_key_format3_backcompat(ctx_keys):
