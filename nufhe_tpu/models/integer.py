@@ -13,7 +13,8 @@ import numpy as np
 
 from ..api import empty_ciphertext
 from .gates import (
-    gate_constant, gate_xnor, gate_xor, gate_and, gate_mux)
+    gate_constant, gate_xnor, gate_xor, gate_and, gate_andyn, gate_or,
+    gate_not, gate_copy, gate_mux)
 
 
 def _uint_to_bits(x, bitsize):
@@ -52,42 +53,78 @@ def bitarray_to_uintarray(xs):
     return np.array(ints).reshape(xs.shape[:-1])
 
 
-def uint_min(cloud_key, answer, a, b, perf_params=None):
-    """Encrypted minimum of two unsigned integers (big-endian bit arrays).
+def _kogge_stone(cloud_key, G, P, keep_last_p=False, perf_params=None):
+    """In-place Kogge-Stone inclusive scan of (generate, propagate) pairs.
 
-    The reference's example composite circuit: a bit-serial comparator built
-    from XNOR + MUX, then a final MUX selecting the smaller operand.
-    Reference: ``nufhe/operators_integer.py:64-95``.
+    On entry ``G[..., i]`` / ``P[..., i]`` hold the per-bit generate /
+    propagate values (big-endian: index 0 = MSB).  On exit ``G[..., i]``
+    is the combined generate over indices ``i..w-1`` (i.e. over bit
+    position ``i`` and everything less significant), and ``P[..., i]``
+    the combined propagate (only if ``keep_last_p``; otherwise the last
+    level skips the propagate update because no later level reads it).
+
+    The combine is ``G' = P_hi ? G_lo : G_hi`` — a single bootstrapped
+    MUX, valid because propagate excludes generate (``p=1 -> g=0``, an
+    invariant the combine preserves) — and ``P' = P_hi AND P_lo``.  Each
+    of the ``ceil(log2 w)`` levels is ONE batched MUX call (+ one batched
+    AND), every bit position riding the lane axis of the same bootstrap:
+    the latency-optimal circuit shape for this engine, where per-call
+    cost is flat in the batch until the chip saturates (SCALING_r03.json).
     """
     params = cloud_key.params
-    itemsize = answer.shape[-1]
+    w = G.shape[-1]
+    d = 1
+    while d < w:
+        m = w - d
+        tg = empty_ciphertext(params, G.shape[:-1] + (m,))
+        gate_mux(cloud_key, tg, P[..., :m], G[..., d:], G[..., :m],
+                 perf_params=perf_params)
+        if keep_last_p or 2 * d < w:
+            tp = empty_ciphertext(params, P.shape[:-1] + (m,))
+            gate_and(cloud_key, tp, P[..., :m], P[..., d:],
+                     perf_params=perf_params)
+            P[..., :m] = tp
+        G[..., :m] = tg
+        d *= 2
 
-    tmp1 = empty_ciphertext(params, a.shape[:-1] + (1,))
-    tmp2 = empty_ciphertext(params, a.shape[:-1] + (1,))
 
-    # carry = 0
-    gate_constant(cloud_key, tmp1, False)
+def uint_min(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Encrypted minimum of two unsigned integers (big-endian bit arrays).
 
-    # Compare bit i (MSB-first): if (a_i == b_i) keep carry else take a_i.
-    for i in reversed(range(itemsize)):
-        a_slice = a[:, i:i + 1]
-        b_slice = b[:, i:i + 1]
-        gate_xnor(cloud_key, tmp2, a_slice, b_slice, perf_params=perf_params)
-        gate_mux(cloud_key, tmp1, tmp2, tmp1, a_slice, perf_params=perf_params)
-
-    # carry == 0 -> a is smaller: answer = carry ? b : a
-    gate_mux(cloud_key, answer, tmp1, b, a, perf_params=perf_params)
+    The reference's example composite circuit: a comparator ladder, then a
+    final MUX selecting the smaller operand (``parallel`` selects the
+    log-depth comparator; see ``_compare_ladder``).
+    Reference: ``nufhe/operators_integer.py:64-95``.
+    """
+    carry = _compare_ladder(cloud_key, a, b, parallel=parallel,
+                            perf_params=perf_params)
+    # carry == 0 -> a is not greater: answer = carry ? b : a
+    gate_mux(cloud_key, answer, carry, b, a, perf_params=perf_params)
     return answer
 
 
-def _compare_ladder(cloud_key, x, y, perf_params=None):
-    """Bit-serial comparison carry: returns an encrypted bit = [x > y].
+def _compare_ladder(cloud_key, x, y, parallel=False, perf_params=None):
+    """Comparison carry: returns an encrypted bit = [x > y].
 
-    At the highest differing bit position the carry becomes x_i; if all
-    bits are equal it stays 0.  (The same XNOR+MUX ladder as ``uint_min``.)
+    ``parallel=False``: bit-serial XNOR+MUX ladder (as in ``uint_min``) —
+    at the highest differing bit position the carry becomes x_i; if all
+    bits are equal it stays 0.  2w+1 dependent gate calls, 3w bootstraps.
+
+    ``parallel=True``: the comparison is an associative scan over
+    (gt, eq) pairs — ``gt' = eq_hi ? gt_lo : gt_hi`` — i.e. exactly the
+    Kogge-Stone carry structure with generate=gt and propagate=eq.
+    2 + ceil(log2 w) dependent batched calls (more total bootstrapped
+    bits, all folded into the lane axis).
     """
     params = cloud_key.params
     itemsize = x.shape[-1]
+    if parallel:
+        gt = empty_ciphertext(params, x.shape[:-1] + (itemsize,))
+        eq = empty_ciphertext(params, x.shape[:-1] + (itemsize,))
+        gate_andyn(cloud_key, gt, x, y, perf_params=perf_params)
+        gate_xnor(cloud_key, eq, x, y, perf_params=perf_params)
+        _kogge_stone(cloud_key, gt, eq, perf_params=perf_params)
+        return gt[..., 0:1]
     carry = empty_ciphertext(params, x.shape[:-1] + (1,))
     tmp = empty_ciphertext(params, x.shape[:-1] + (1,))
     gate_constant(cloud_key, carry, False)
@@ -100,30 +137,96 @@ def _compare_ladder(cloud_key, x, y, perf_params=None):
     return carry
 
 
-def uint_gt(cloud_key, answer, a, b, perf_params=None):
+def uint_gt(cloud_key, answer, a, b, parallel=False, perf_params=None):
     """answer = encrypted bit [a > b] (shape (..., 1))."""
-    carry = _compare_ladder(cloud_key, a, b, perf_params=perf_params)
-    from .gates import gate_copy
+    carry = _compare_ladder(cloud_key, a, b, parallel=parallel,
+                            perf_params=perf_params)
     gate_copy(cloud_key, answer, carry)
     return answer
 
 
-def uint_lt(cloud_key, answer, a, b, perf_params=None):
+def uint_lt(cloud_key, answer, a, b, parallel=False, perf_params=None):
     """answer = encrypted bit [a < b] (shape (..., 1))."""
-    carry = _compare_ladder(cloud_key, b, a, perf_params=perf_params)
-    from .gates import gate_copy
+    carry = _compare_ladder(cloud_key, b, a, parallel=parallel,
+                            perf_params=perf_params)
     gate_copy(cloud_key, answer, carry)
     return answer
 
 
-def uint_add(cloud_key, answer, a, b, perf_params=None):
-    """Encrypted ripple-carry addition (mod 2^itemsize).
+def _uint_add_parallel(cloud_key, answer, a, b, perf_params=None):
+    """Kogge-Stone addition (mod 2^w): 4 + 2*ceil(log2 w) dependent
+    batched gate calls vs the ripple adder's 3w sequential ones.
 
-    Per bit (LSB to MSB):
+    carry into bit i = combined generate over the lower bits; the scan
+    runs on (g = a AND b, p = a XOR b) and the sum is p XOR carry.
+    """
+    params = cloud_key.params
+    w = answer.shape[-1]
+    p0 = empty_ciphertext(params, a.shape[:-1] + (w,))
+    gate_xor(cloud_key, p0, a, b, perf_params=perf_params)
+    if w == 1:
+        answer[...] = p0      # single-bit add mod 2 is XOR
+        return answer
+    G = empty_ciphertext(params, a.shape[:-1] + (w,))
+    gate_and(cloud_key, G, a, b, perf_params=perf_params)
+    P = empty_ciphertext(params, a.shape[:-1] + (w,))
+    P[...] = p0
+    _kogge_stone(cloud_key, G, P, perf_params=perf_params)
+    # carry into index i (< w-1) is G[..., i+1]; carry into the LSB is 0.
+    s = empty_ciphertext(params, a.shape[:-1] + (w - 1,))
+    gate_xor(cloud_key, s, p0[..., :w - 1], G[..., 1:],
+             perf_params=perf_params)
+    answer[..., :w - 1] = s
+    answer[..., w - 1:w] = p0[..., w - 1:w]
+    return answer
+
+
+def _uint_sub_parallel(cloud_key, answer, a, b, perf_params=None):
+    """Kogge-Stone subtraction a - b = a + NOT(b) + 1 (mod 2^w).
+
+    Per-bit pairs are g = a AND NOT b, p = XNOR(a, b); the carry-in of 1
+    turns the carry into bit i into (G OR P) over the lower bits.
+    """
+    params = cloud_key.params
+    w = answer.shape[-1]
+    p0 = empty_ciphertext(params, a.shape[:-1] + (w,))
+    gate_xnor(cloud_key, p0, a, b, perf_params=perf_params)
+    if w == 1:
+        gate_xor(cloud_key, answer, a, b, perf_params=perf_params)
+        return answer
+    G = empty_ciphertext(params, a.shape[:-1] + (w,))
+    gate_andyn(cloud_key, G, a, b, perf_params=perf_params)
+    P = empty_ciphertext(params, a.shape[:-1] + (w,))
+    P[...] = p0
+    _kogge_stone(cloud_key, G, P, keep_last_p=True, perf_params=perf_params)
+    c = empty_ciphertext(params, a.shape[:-1] + (w - 1,))
+    gate_or(cloud_key, c, G[..., 1:], P[..., 1:], perf_params=perf_params)
+    s = empty_ciphertext(params, a.shape[:-1] + (w - 1,))
+    gate_xor(cloud_key, s, p0[..., :w - 1], c, perf_params=perf_params)
+    answer[..., :w - 1] = s
+    t = empty_ciphertext(params, a.shape[:-1] + (1,))
+    gate_not(cloud_key, t, p0[..., w - 1:w], perf_params=perf_params)
+    answer[..., w - 1:w] = t
+    return answer
+
+
+def uint_add(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Encrypted addition (mod 2^itemsize).
+
+    ``parallel=False`` (default): ripple carry, LSB to MSB —
         sum_i   = a_i XOR b_i XOR carry
         carry'  = (a_i XOR b_i) ? carry : a_i      (majority via MUX)
-    Each bit costs two bootstrapped gates plus one double-bootstrap MUX.
+    — two bootstrapped gates plus one double-bootstrap MUX per bit; the
+    lowest total bootstrap count (best throughput at large batch).
+
+    ``parallel=True``: Kogge-Stone carry-lookahead — O(log2 w) dependent
+    batched gate calls (each folding all bit positions into the lane
+    axis), ~3x the bootstrapped bits; the lowest latency, and the better
+    choice whenever the batch is below chip saturation (~2^13 bits).
     """
+    if parallel:
+        return _uint_add_parallel(cloud_key, answer, a, b,
+                                  perf_params=perf_params)
     params = cloud_key.params
     itemsize = answer.shape[-1]
 
@@ -143,14 +246,17 @@ def uint_add(cloud_key, answer, a, b, perf_params=None):
     return answer
 
 
-def uint_mul(cloud_key, answer, a, b, perf_params=None):
+def uint_mul(cloud_key, answer, a, b, parallel=False, perf_params=None):
     """Encrypted multiplication a * b (mod 2^itemsize): shift-and-add.
 
     For each bit j of ``b`` (LSB first) one batched AND masks the shifted
     operand a << j (the single b bit broadcasts over the w-j surviving
-    product bits), which a ripple adder accumulates into the top w-j bits
-    of the result; carries past the MSB drop (mod 2^w).  Gate count:
-    w batched ANDs + ~3/2 w^2 single-bit bootstrapped gates.
+    product bits), which an adder accumulates into the top w-j bits of
+    the result; carries past the MSB drop (mod 2^w).  Gate count with the
+    default ripple adder: w batched ANDs + ~3/2 w^2 single-bit
+    bootstrapped gates; ``parallel=True`` swaps in the Kogge-Stone adder
+    per partial product, cutting the dependent-call depth from O(w^2) to
+    O(w log w).
     """
     params = cloud_key.params
     w = answer.shape[-1]
@@ -169,6 +275,12 @@ def uint_mul(cloud_key, answer, a, b, perf_params=None):
         gate_and(cloud_key, masked, a[..., j:], b[..., w - 1 - j:w - j],
                  perf_params=perf_params)
         # acc[..., :width] += masked, LSB (index width-1) up to the MSB
+        if parallel:
+            t = empty_ciphertext(params, a.shape[:-1] + (width,))
+            _uint_add_parallel(cloud_key, t, acc[..., :width], masked,
+                               perf_params=perf_params)
+            acc[..., :width] = t
+            continue
         gate_constant(cloud_key, carry, False)
         for i in reversed(range(width)):
             acc_i = acc[..., i:i + 1]
@@ -180,46 +292,53 @@ def uint_mul(cloud_key, answer, a, b, perf_params=None):
                 gate_mux(cloud_key, carry, p, carry, acc_i,
                          perf_params=perf_params)
             acc[..., i:i + 1] = s
-    from .gates import gate_copy
     gate_copy(cloud_key, answer, acc)
     return answer
 
 
-def uint_max(cloud_key, answer, a, b, perf_params=None):
+def uint_max(cloud_key, answer, a, b, parallel=False, perf_params=None):
     """Encrypted maximum of two unsigned integers (big-endian bit arrays):
     the same comparison ladder as ``uint_min`` with the final selection
     flipped."""
-    carry = _compare_ladder(cloud_key, a, b, perf_params=perf_params)
+    carry = _compare_ladder(cloud_key, a, b, parallel=parallel,
+                            perf_params=perf_params)
     # carry == 1 -> a > b: answer = carry ? a : b
     gate_mux(cloud_key, answer, carry, a, b, perf_params=perf_params)
     return answer
 
 
 def uint_eq(cloud_key, answer, a, b, perf_params=None):
-    """answer = encrypted bit [a == b] (shape (..., 1)): AND-reduction of
-    per-bit XNORs."""
+    """answer = encrypted bit [a == b] (shape (..., 1)): tree AND-reduction
+    of per-bit XNORs — one batched XNOR plus ceil(log2 w) batched ANDs
+    (same bootstrap count as a sequential chain, log depth)."""
     params = cloud_key.params
-    itemsize = a.shape[-1]
-    acc = empty_ciphertext(params, a.shape[:-1] + (1,))
-    tmp = empty_ciphertext(params, a.shape[:-1] + (1,))
-    gate_xnor(cloud_key, acc, a[..., 0:1], b[..., 0:1],
-              perf_params=perf_params)
-    for i in range(1, itemsize):
-        gate_xnor(cloud_key, tmp, a[..., i:i + 1], b[..., i:i + 1],
-                  perf_params=perf_params)
-        gate_and(cloud_key, acc, acc, tmp, perf_params=perf_params)
-    from .gates import gate_copy
-    gate_copy(cloud_key, answer, acc)
+    width = a.shape[-1]
+    acc = empty_ciphertext(params, a.shape[:-1] + (width,))
+    gate_xnor(cloud_key, acc, a, b, perf_params=perf_params)
+    while width > 1:
+        h = width // 2
+        t = empty_ciphertext(params, a.shape[:-1] + (h,))
+        gate_and(cloud_key, t, acc[..., :h], acc[..., h:2 * h],
+                 perf_params=perf_params)
+        acc[..., :h] = t
+        if width % 2:  # odd element out: carry it into the next round
+            acc[..., h:h + 1] = acc[..., width - 1:width]
+        width = h + (width % 2)
+    gate_copy(cloud_key, answer, acc[..., 0:1])
     return answer
 
 
-def uint_sub(cloud_key, answer, a, b, perf_params=None):
-    """Encrypted subtraction a - b (mod 2^itemsize): ripple over
-    a + NOT(b) with carry-in 1.
+def uint_sub(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Encrypted subtraction a - b (mod 2^itemsize): a + NOT(b) with
+    carry-in 1.
 
-    Per bit: p = a XOR NOT(b) = XNOR(a, b); sum = p XOR carry;
-    carry' = p ? carry : a_i.
+    ``parallel=False``: ripple — per bit p = a XOR NOT(b) = XNOR(a, b);
+    sum = p XOR carry; carry' = p ? carry : a_i.
+    ``parallel=True``: Kogge-Stone carry-lookahead (see ``uint_add``).
     """
+    if parallel:
+        return _uint_sub_parallel(cloud_key, answer, a, b,
+                                  perf_params=perf_params)
     params = cloud_key.params
     itemsize = answer.shape[-1]
 

@@ -118,3 +118,87 @@ def test_uint_mul():
     uint_mul(cloud, ans, ca, cb)
     got = bitarray_to_uintarray(nf.decrypt(secret, ans))
     assert np.array_equal(got, (a_vals * b_vals) % 16)
+
+
+def test_parallel_prefix_variants():
+    """Kogge-Stone adders/comparators agree with plaintext arithmetic.
+
+    The parallel circuits share no code path with the ripple versions
+    (associative (g, p) scans over batched gate calls), so each operator
+    is decrypt-checked independently, including carry chains that span
+    the full width (255 + 1, 0 - 1) and the w=5 odd-width scan.
+    """
+    # the XLA:CPU accumulated-cache segfault (see _fresh_caches) bites
+    # mid-module too: the scan circuits compile many distinct shapes
+    jax.clear_caches()
+    rng = nf.DeterministicRNG(11)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    from nufhe_tpu.models.integer import (
+        uint_add, uint_sub, uint_gt, uint_lt, uint_min, uint_max)
+
+    a_vals = np.array([3, 250, 255, 0, 129], np.uint8)
+    b_vals = np.array([5, 10, 1, 1, 129], np.uint8)
+    a_bits = uintarray_to_bitarray(a_vals)
+    b_bits = uintarray_to_bitarray(b_vals)
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
+    n = a_vals.size
+
+    ans = nf.empty_ciphertext(cloud.params, a_bits.shape)
+    uint_add(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, a_vals + b_vals)  # uint8 wraps mod 256
+
+    uint_sub(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, a_vals - b_vals)
+
+    uint_min(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, np.minimum(a_vals, b_vals))
+
+    uint_max(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, np.maximum(a_vals, b_vals))
+
+    bit = nf.empty_ciphertext(cloud.params, (n, 1))
+    uint_gt(cloud, bit, ca, cb, parallel=True)
+    assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals > b_vals)
+    uint_lt(cloud, bit, ca, cb, parallel=True)
+    assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals < b_vals)
+
+    # odd width exercises the leftover lanes of the scan and the eq tree
+    jax.clear_caches()
+    a5 = np.array([18, 7, 31], np.uint8)
+    b5 = np.array([13, 7, 0], np.uint8)
+    ca5 = nf.encrypt(rng, secret, uintarray_to_bitarray(a5, itemsize=5))
+    cb5 = nf.encrypt(rng, secret, uintarray_to_bitarray(b5, itemsize=5))
+    ans5 = nf.empty_ciphertext(cloud.params, (3, 5))
+    uint_add(cloud, ans5, ca5, cb5, parallel=True)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans5))
+    assert np.array_equal(got, (a5 + b5) % 32)
+
+    from nufhe_tpu.models.integer import uint_eq
+    eq5 = nf.empty_ciphertext(cloud.params, (3, 1))
+    uint_eq(cloud, eq5, ca5, cb5)
+    assert np.array_equal(nf.decrypt(secret, eq5)[:, 0], a5 == b5)
+
+
+def test_uint_mul_parallel():
+    from nufhe_tpu.models.integer import uint_mul
+    jax.clear_caches()
+    rng = nf.DeterministicRNG(12)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    a_vals = np.array([13, 9, 15], np.uint8)
+    b_vals = np.array([5, 9, 15], np.uint8)
+    a_bits = uintarray_to_bitarray(a_vals, itemsize=4)
+    b_bits = uintarray_to_bitarray(b_vals, itemsize=4)
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
+
+    ans = nf.empty_ciphertext(cloud.params, a_bits.shape)
+    uint_mul(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_uintarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, (a_vals * b_vals) % 16)

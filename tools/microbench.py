@@ -10,6 +10,7 @@ Usage:
     python tools/microbench.py parts [batch]              # step components
     python tools/microbench.py keyswitch [batch]          # keyswitch share
     python tools/microbench.py rotation [batch] [lt]      # chunked launches
+    python tools/microbench.py intadd [batch] [width]     # ripple vs KS adder
 
 ``NUFHE_BENCH_TRANSFORM=fft`` switches step/rotation to the rounded-key
 engine (the 'FFT' accuracy mode); the default is the exact engine.
@@ -300,6 +301,48 @@ def bench_rotation(batch, lane_tile, n_steps=100):
     return results
 
 
+def bench_intadd(batch, width=8):
+    """Ripple vs Kogge-Stone encrypted adder latency at a given integer
+    batch (total encrypted bits = batch * width).
+
+    The ripple adder issues 3*width dependent single-bit-column gate
+    calls (batch lanes each); Kogge-Stone issues 4 + 2*ceil(log2 width)
+    batched calls (up to batch*width lanes each).  Below chip saturation
+    (~2^13 lanes, SCALING_r03.json) the parallel circuit should win on
+    latency despite ~3x the bootstrapped bits.
+    """
+    import nufhe_tpu as nf
+    from nufhe_tpu.models.integer import (
+        uint_add, uintarray_to_bitarray, bitarray_to_uintarray)
+
+    rng = nf.DeterministicRNG(5)
+    print("keygen...", flush=True)
+    secret, cloud = nf.make_key_pair(rng)
+    rs = np.random.RandomState(0)
+    a_vals = rs.randint(0, 2 ** width, batch).astype(np.uint64)
+    b_vals = rs.randint(0, 2 ** width, batch).astype(np.uint64)
+    ca = nf.encrypt(rng, secret, uintarray_to_bitarray(a_vals, width))
+    cb = nf.encrypt(rng, secret, uintarray_to_bitarray(b_vals, width))
+    ans = nf.empty_ciphertext(cloud.params, ca.shape)
+    expect = (a_vals + b_vals) % (2 ** width)
+
+    ov = sync_overhead()
+    for parallel in (False, True):
+        name = "kogge-stone" if parallel else "ripple"
+        uint_add(cloud, ans, ca, cb, parallel=parallel)  # compile warmup
+        np.asarray(ans.b)
+        ok = bool(np.array_equal(
+            bitarray_to_uintarray(nf.decrypt(secret, ans)), expect))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            uint_add(cloud, ans, ca, cb, parallel=parallel)
+            np.asarray(ans.b)
+            best = min(best, time.time() - t0 - ov)
+        print(f"{name:11s} batch={batch} width={width}: {best*1e3:9.1f} ms "
+              f"({best*1e3/batch:8.3f} ms/int)  correct={ok}", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "step"
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
@@ -310,6 +353,9 @@ if __name__ == "__main__":
         bench_parts(b)
     elif mode == "keyswitch":
         bench_keyswitch(b)
+    elif mode == "intadd":
+        w = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        bench_intadd(b, w)
     else:
         lt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
         bench_step(b, lt)

@@ -31,5 +31,7 @@ echo "== rounded engine lane-tile 2048 probe (exact engine OOMs here) ==" | tee 
 NUFHE_BENCH_TRANSFORM=fft python tools/microbench.py step 16384 2048 2>&1 | tee -a /tmp/microbench_r3b.log
 echo "== parts breakdown ==" | tee -a /tmp/microbench_r3b.log
 python tools/microbench.py parts 4096 2>&1 | tee -a /tmp/microbench_r3b.log
+echo "== ripple vs kogge-stone adder (batch 2048 uint8) ==" | tee -a /tmp/microbench_r3b.log
+python tools/microbench.py intadd 2048 2>&1 | tee -a /tmp/microbench_r3b.log
 
 echo "done; artifacts: BENCH_AB_r03.json BENCH_FFT_r03.json BENCH_FFT_MUX_r03.json"
