@@ -197,7 +197,10 @@ class VirtualMachine:
     """Executes gates on ciphertexts with an encapsulated cloud key.
 
     ``vm.gate_<op>(*args, dest=None)`` mirrors the reference
-    (``nufhe/api_high_level.py:302-363``).
+    (``nufhe/api_high_level.py:302-363``); ``vm.uint_<op>(a, b,
+    dest=None, parallel=False)`` extends the same dispatch to the
+    encrypted-integer circuits (``models/integer.py``), allocating the
+    result shape automatically (comparisons yield one bit per integer).
     """
 
     def __init__(self, cloud_key: NuFHECloudKey,
@@ -222,7 +225,24 @@ class VirtualMachine:
         gate_func(self.cloud_key, dest, *args, perf_params=self.perf_params)
         return dest
 
+    # these produce one encrypted bit per integer, not a full bit array
+    _UINT_BIT_RESULT = frozenset(('uint_gt', 'uint_lt', 'uint_eq'))
+
+    def _uint(self, name, a, b, dest: LweSampleArray = None, **kwds):
+        from .models import integer
+        if dest is None:
+            shape = result_shape(get_shape(a), get_shape(b))
+            if name in self._UINT_BIT_RESULT:
+                shape = shape[:-1] + (1,)
+            dest = self.empty_ciphertext(shape)
+        func = getattr(integer, name)
+        func(self.cloud_key, dest, a, b, perf_params=self.perf_params,
+             **kwds)
+        return dest
+
     def __getattr__(self, name):
         if name.startswith('gate_'):
             return lambda *args, **kwds: self._gate(name, *args, **kwds)
+        if name.startswith('uint_'):
+            return lambda *args, **kwds: self._uint(name, *args, **kwds)
         raise AttributeError(name)

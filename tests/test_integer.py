@@ -202,3 +202,26 @@ def test_uint_mul_parallel():
     uint_mul(cloud, ans, ca, cb, parallel=True)
     got = bitarray_to_uintarray(nf.decrypt(secret, ans))
     assert np.array_equal(got, (a_vals * b_vals) % 16)
+
+
+def test_vm_uint_dispatch():
+    """VirtualMachine.uint_* allocates the right result shapes and routes
+    kwargs (parallel=) through to the integer circuits."""
+    jax.clear_caches()
+    rng = nf.DeterministicRNG(13)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+    vm = nf.VirtualMachine(cloud)
+
+    a_vals = np.array([9, 4], np.uint8)
+    b_vals = np.array([3, 12], np.uint8)
+    ca = nf.encrypt(rng, secret, uintarray_to_bitarray(a_vals, itemsize=4))
+    cb = nf.encrypt(rng, secret, uintarray_to_bitarray(b_vals, itemsize=4))
+
+    out = vm.uint_add(ca, cb, parallel=True)
+    assert out.shape == (2, 4)
+    got = bitarray_to_uintarray(nf.decrypt(secret, out))
+    assert np.array_equal(got, (a_vals + b_vals) % 16)
+
+    bit = vm.uint_gt(ca, cb)
+    assert bit.shape == (2, 1)
+    assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals > b_vals)
