@@ -230,11 +230,17 @@ class VirtualMachine:
 
     def _uint(self, name, a, b, dest: LweSampleArray = None, **kwds):
         from .models import integer
+        shape = result_shape(get_shape(a), get_shape(b))
+        # the integer circuits size their temporaries from the operand
+        # shapes, so broadcasting must happen here, not inside a gate
+        if get_shape(a) != shape:
+            a = a.broadcast_to(shape)
+        if get_shape(b) != shape:
+            b = b.broadcast_to(shape)
         if dest is None:
-            shape = result_shape(get_shape(a), get_shape(b))
-            if name in self._UINT_BIT_RESULT:
-                shape = shape[:-1] + (1,)
-            dest = self.empty_ciphertext(shape)
+            dest = self.empty_ciphertext(
+                shape[:-1] + (1,) if name in self._UINT_BIT_RESULT
+                else shape)
         func = getattr(integer, name)
         func(self.cloud_key, dest, a, b, perf_params=self.perf_params,
              **kwds)

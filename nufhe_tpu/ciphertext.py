@@ -88,6 +88,16 @@ class LweSampleArray:
             self.params, jnp.array(self.a), jnp.array(self.b),
             jnp.array(self.current_variances))
 
+    def broadcast_to(self, shape):
+        """A read-only broadcast view with the given message shape
+        (numpy broadcasting rules; the LWE axis is untouched)."""
+        shape = tuple(shape)
+        return LweSampleArray(
+            self.params,
+            jnp.broadcast_to(self.a, shape + (self.params.size,)),
+            jnp.broadcast_to(self.b, shape),
+            jnp.broadcast_to(self.current_variances, shape))
+
     def roll(self, shift, axis=-1):
         """Cyclically shift encrypted bits along ``axis``, in place.
 

@@ -154,8 +154,9 @@ def uint_lt(cloud_key, answer, a, b, parallel=False, perf_params=None):
 
 
 def _uint_add_parallel(cloud_key, answer, a, b, perf_params=None):
-    """Kogge-Stone addition (mod 2^w): 4 + 2*ceil(log2 w) dependent
-    batched gate calls vs the ripple adder's 3w sequential ones.
+    """Kogge-Stone addition (mod 2^w): 2 + 2*ceil(log2 w) dependent
+    batched gate calls (the last scan level skips its propagate AND) vs
+    the ripple adder's 3w sequential ones.
 
     carry into bit i = combined generate over the lower bits; the scan
     runs on (g = a AND b, p = a XOR b) and the sum is p XOR carry.
@@ -307,10 +308,12 @@ def uint_max(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def uint_eq(cloud_key, answer, a, b, perf_params=None):
+def uint_eq(cloud_key, answer, a, b, parallel=True, perf_params=None):
     """answer = encrypted bit [a == b] (shape (..., 1)): tree AND-reduction
     of per-bit XNORs — one batched XNOR plus ceil(log2 w) batched ANDs
-    (same bootstrap count as a sequential chain, log depth)."""
+    (same bootstrap count as a sequential chain, log depth).  Already
+    log-depth; ``parallel`` is accepted for signature uniformity with the
+    other circuits and ignored."""
     params = cloud_key.params
     width = a.shape[-1]
     acc = empty_ciphertext(params, a.shape[:-1] + (width,))

@@ -225,3 +225,16 @@ def test_vm_uint_dispatch():
     bit = vm.uint_gt(ca, cb)
     assert bit.shape == (2, 1)
     assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals > b_vals)
+
+    # operands broadcast before entering the circuits ((1, w) x (2, w)),
+    # and uint_eq accepts the uniform parallel= kwarg
+    one = nf.encrypt(rng, secret,
+                     uintarray_to_bitarray(np.array([9], np.uint8),
+                                           itemsize=4))
+    out = vm.uint_sub(one, cb, parallel=True)
+    assert out.shape == (2, 4)
+    got = bitarray_to_uintarray(nf.decrypt(secret, out))
+    assert np.array_equal(got, (9 - b_vals) % 16)
+    eq = vm.uint_eq(one, ca, parallel=True)
+    assert eq.shape == (2, 1)
+    assert np.array_equal(nf.decrypt(secret, eq)[:, 0], a_vals == 9)

@@ -306,25 +306,29 @@ def bench_intadd(batch, width=8):
     batch (total encrypted bits = batch * width).
 
     The ripple adder issues 3*width dependent single-bit-column gate
-    calls (batch lanes each); Kogge-Stone issues 4 + 2*ceil(log2 width)
+    calls (batch lanes each); Kogge-Stone issues 2 + 2*ceil(log2 width)
     batched calls (up to batch*width lanes each).  Below chip saturation
     (~2^13 lanes, SCALING_r03.json) the parallel circuit should win on
     latency despite ~3x the bootstrapped bits.
     """
     import nufhe_tpu as nf
-    from nufhe_tpu.models.integer import (
-        uint_add, uintarray_to_bitarray, bitarray_to_uintarray)
+    from nufhe_tpu.models.integer import uint_add, bitarray_to_uintarray
 
     rng = nf.DeterministicRNG(5)
     print("keygen...", flush=True)
     secret, cloud = nf.make_key_pair(rng)
     rs = np.random.RandomState(0)
-    a_vals = rs.randint(0, 2 ** width, batch).astype(np.uint64)
-    b_vals = rs.randint(0, 2 ** width, batch).astype(np.uint64)
-    ca = nf.encrypt(rng, secret, uintarray_to_bitarray(a_vals, width))
-    cb = nf.encrypt(rng, secret, uintarray_to_bitarray(b_vals, width))
+    # draw bits, not ints: randint's int64 bound breaks at width >= 63
+    a_bits = rs.randint(0, 2, (batch, width)) != 0
+    b_bits = rs.randint(0, 2, (batch, width)) != 0
+    a_vals = bitarray_to_uintarray(a_bits)
+    b_vals = bitarray_to_uintarray(b_bits)
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
     ans = nf.empty_ciphertext(cloud.params, ca.shape)
-    expect = (a_vals + b_vals) % (2 ** width)
+    expect = np.array(
+        [(int(x) + int(y)) % (1 << width)
+         for x, y in zip(a_vals, b_vals)], a_vals.dtype)
 
     ov = sync_overhead()
     for parallel in (False, True):
