@@ -102,8 +102,18 @@ from .models.integer import (
     uint_gt,
     uint_lt,
     uint_eq,
+    int_min,
+    int_max,
+    int_add,
+    int_sub,
+    int_neg,
+    int_gt,
+    int_lt,
+    int_eq,
     uintarray_to_bitarray,
     bitarray_to_uintarray,
+    intarray_to_bitarray,
+    bitarray_to_intarray,
 )
 
 

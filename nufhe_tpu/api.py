@@ -226,29 +226,28 @@ class VirtualMachine:
         return dest
 
     # these produce one encrypted bit per integer, not a full bit array
-    _UINT_BIT_RESULT = frozenset(('uint_gt', 'uint_lt', 'uint_eq'))
+    _UINT_BIT_RESULT = frozenset(
+        ('uint_gt', 'uint_lt', 'uint_eq', 'int_gt', 'int_lt', 'int_eq'))
 
-    def _uint(self, name, a, b, dest: LweSampleArray = None, **kwds):
+    def _uint(self, name, *args, dest: LweSampleArray = None, **kwds):
         from .models import integer
-        shape = result_shape(get_shape(a), get_shape(b))
+        shape = result_shape(*[get_shape(x) for x in args])
         # the integer circuits size their temporaries from the operand
         # shapes, so broadcasting must happen here, not inside a gate
-        if get_shape(a) != shape:
-            a = a.broadcast_to(shape)
-        if get_shape(b) != shape:
-            b = b.broadcast_to(shape)
+        args = tuple(x if get_shape(x) == shape else x.broadcast_to(shape)
+                     for x in args)
         if dest is None:
             dest = self.empty_ciphertext(
                 shape[:-1] + (1,) if name in self._UINT_BIT_RESULT
                 else shape)
         func = getattr(integer, name)
-        func(self.cloud_key, dest, a, b, perf_params=self.perf_params,
+        func(self.cloud_key, dest, *args, perf_params=self.perf_params,
              **kwds)
         return dest
 
     def __getattr__(self, name):
         if name.startswith('gate_'):
             return lambda *args, **kwds: self._gate(name, *args, **kwds)
-        if name.startswith('uint_'):
+        if name.startswith(('uint_', 'int_')):
             return lambda *args, **kwds: self._uint(name, *args, **kwds)
         raise AttributeError(name)

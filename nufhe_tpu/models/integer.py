@@ -358,3 +358,137 @@ def uint_sub(cloud_key, answer, a, b, parallel=False, perf_params=None):
         answer[..., i:i + 1] = s
         gate_mux(cloud_key, carry, p, carry, a_slice, perf_params=perf_params)
     return answer
+
+
+# --- signed (two's complement) operators ---
+#
+# Big-endian bit arrays like the uint family, index 0 = sign bit.
+# Addition/subtraction/equality are representation-identical to the
+# unsigned circuits; comparisons reduce to the unsigned ones by flipping
+# both sign bits (x -> x XOR 2^(w-1) maps signed order to unsigned
+# order), which is a linear NOT — no extra bootstraps.
+
+def _flip_msb(cloud_key, x, perf_params=None):
+    """A copy of ``x`` with the sign bit negated (linear, unbootstrapped)."""
+    params = cloud_key.params
+    out = empty_ciphertext(params, x.shape)
+    out[...] = x
+    t = empty_ciphertext(params, x.shape[:-1] + (1,))
+    gate_not(cloud_key, t, x[..., 0:1], perf_params=perf_params)
+    out[..., 0:1] = t
+    return out
+
+
+def int_add(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Signed addition (mod 2^w): two's complement makes this the same
+    circuit as ``uint_add``."""
+    return uint_add(cloud_key, answer, a, b, parallel=parallel,
+                    perf_params=perf_params)
+
+
+def int_sub(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Signed subtraction (mod 2^w): identical to ``uint_sub``."""
+    return uint_sub(cloud_key, answer, a, b, parallel=parallel,
+                    perf_params=perf_params)
+
+
+def int_eq(cloud_key, answer, a, b, parallel=True, perf_params=None):
+    """Signed equality: identical to ``uint_eq``."""
+    return uint_eq(cloud_key, answer, a, b, perf_params=perf_params)
+
+
+def int_gt(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """answer = encrypted bit [a > b], signed (shape (..., 1))."""
+    fa = _flip_msb(cloud_key, a, perf_params=perf_params)
+    fb = _flip_msb(cloud_key, b, perf_params=perf_params)
+    return uint_gt(cloud_key, answer, fa, fb, parallel=parallel,
+                   perf_params=perf_params)
+
+
+def int_lt(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """answer = encrypted bit [a < b], signed (shape (..., 1))."""
+    fa = _flip_msb(cloud_key, a, perf_params=perf_params)
+    fb = _flip_msb(cloud_key, b, perf_params=perf_params)
+    return uint_lt(cloud_key, answer, fa, fb, parallel=parallel,
+                   perf_params=perf_params)
+
+
+def int_min(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Signed minimum: the unsigned comparator ladder on sign-flipped
+    operands selects between the ORIGINAL operands."""
+    fa = _flip_msb(cloud_key, a, perf_params=perf_params)
+    fb = _flip_msb(cloud_key, b, perf_params=perf_params)
+    carry = _compare_ladder(cloud_key, fa, fb, parallel=parallel,
+                            perf_params=perf_params)
+    gate_mux(cloud_key, answer, carry, b, a, perf_params=perf_params)
+    return answer
+
+
+def int_max(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """Signed maximum (see ``int_min``)."""
+    fa = _flip_msb(cloud_key, a, perf_params=perf_params)
+    fb = _flip_msb(cloud_key, b, perf_params=perf_params)
+    carry = _compare_ladder(cloud_key, fa, fb, parallel=parallel,
+                            perf_params=perf_params)
+    gate_mux(cloud_key, answer, carry, a, b, perf_params=perf_params)
+    return answer
+
+
+def int_neg(cloud_key, answer, a, perf_params=None):
+    """answer = -a (two's complement, mod 2^w): NOT(a) + 1.
+
+    The bit flip is linear (no bootstrap); the +1 carry into bit i is
+    the AND of all lower flipped bits, computed by a log-depth suffix-AND
+    scan — ceil(log2 w) batched ANDs plus one batched XOR.  The LSB of
+    -a equals the LSB of a (copied, no gate).
+    """
+    params = cloud_key.params
+    w = answer.shape[-1]
+    if w == 1:
+        answer[...] = a           # -a == a mod 2
+        return answer
+    p0 = empty_ciphertext(params, a.shape[:-1] + (w,))
+    gate_not(cloud_key, p0, a, perf_params=perf_params)
+    P = empty_ciphertext(params, a.shape[:-1] + (w,))
+    P[...] = p0
+    d = 1
+    while d < w:
+        m = w - d
+        tp = empty_ciphertext(params, a.shape[:-1] + (m,))
+        gate_and(cloud_key, tp, P[..., :m], P[..., d:],
+                 perf_params=perf_params)
+        P[..., :m] = tp
+        d *= 2
+    s = empty_ciphertext(params, a.shape[:-1] + (w - 1,))
+    gate_xor(cloud_key, s, p0[..., :w - 1], P[..., 1:],
+             perf_params=perf_params)
+    answer[..., :w - 1] = s
+    answer[..., w - 1:w] = a[..., w - 1:w]
+    return answer
+
+
+def intarray_to_bitarray(xs, itemsize=None):
+    """Signed integer array -> big-endian two's-complement bit array."""
+    xs = np.asarray(xs)
+    if itemsize is None:
+        itemsize = xs.itemsize * 8
+    assert np.issubdtype(xs.dtype, np.signedinteger)
+    mod = 1 << itemsize
+    flat = [_uint_to_bits(int(x) % mod, itemsize) for x in xs.flatten()]
+    return np.vstack(flat).reshape(xs.shape + (itemsize,))
+
+
+def bitarray_to_intarray(xs):
+    """Big-endian two's-complement bit array -> signed integer array."""
+    xs = np.asarray(xs)
+    itemsize = xs.shape[-1]
+    dtype = next((dt for width, dt in ((8, np.int8), (16, np.int16),
+                                       (32, np.int32), (64, np.int64))
+                  if itemsize <= width), None)
+    if dtype is None:
+        raise ValueError("bit width %d exceeds 64" % itemsize)
+    half, mod = 1 << (itemsize - 1), 1 << itemsize
+    flat = xs.reshape(-1, itemsize)
+    ints = [int(_bits_to_uint(flat[j], np.uint64)) for j in range(flat.shape[0])]
+    return np.array([v - mod if v >= half else v for v in ints],
+                    dtype).reshape(xs.shape[:-1])

@@ -238,3 +238,57 @@ def test_vm_uint_dispatch():
     eq = vm.uint_eq(one, ca, parallel=True)
     assert eq.shape == (2, 1)
     assert np.array_equal(nf.decrypt(secret, eq)[:, 0], a_vals == 9)
+
+
+def test_signed_operators():
+    """Two's-complement family: comparisons via the sign-flip reduction,
+    negation via the suffix-AND carry scan, add identical to unsigned."""
+    from nufhe_tpu.models.integer import (
+        int_add, int_neg, int_gt, int_lt, int_min, int_max, int_eq,
+        intarray_to_bitarray, bitarray_to_intarray)
+    jax.clear_caches()
+    rng = nf.DeterministicRNG(14)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    a_vals = np.array([-8, -1, 3, 7, -3], np.int8)
+    b_vals = np.array([5, -1, -4, 7, -2], np.int8)
+    a_bits = intarray_to_bitarray(a_vals, itemsize=4)
+    b_bits = intarray_to_bitarray(b_vals, itemsize=4)
+    assert np.array_equal(bitarray_to_intarray(a_bits), a_vals)
+    ca = nf.encrypt(rng, secret, a_bits)
+    cb = nf.encrypt(rng, secret, b_bits)
+    n = a_vals.size
+
+    def wrap4(x):  # signed 4-bit wraparound
+        return ((np.asarray(x, np.int64) + 8) % 16 - 8).astype(np.int8)
+
+    ans = nf.empty_ciphertext(cloud.params, a_bits.shape)
+    int_add(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_intarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, wrap4(a_vals.astype(np.int64) + b_vals))
+
+    int_neg(cloud, ans, ca)
+    got = bitarray_to_intarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, wrap4(-a_vals.astype(np.int64)))
+
+    int_min(cloud, ans, ca, cb, parallel=True)
+    got = bitarray_to_intarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, np.minimum(a_vals, b_vals))
+
+    int_max(cloud, ans, ca, cb)
+    got = bitarray_to_intarray(nf.decrypt(secret, ans))
+    assert np.array_equal(got, np.maximum(a_vals, b_vals))
+
+    bit = nf.empty_ciphertext(cloud.params, (n, 1))
+    int_gt(cloud, bit, ca, cb, parallel=True)
+    assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals > b_vals)
+    int_lt(cloud, bit, ca, cb)
+    assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals < b_vals)
+    int_eq(cloud, bit, ca, cb)
+    assert np.array_equal(nf.decrypt(secret, bit)[:, 0], a_vals == b_vals)
+
+    # VM dispatch covers the signed names too (int_gt is a bit result)
+    vm = nf.VirtualMachine(cloud)
+    out = vm.int_gt(ca, cb)
+    assert out.shape == (n, 1)
+    assert np.array_equal(nf.decrypt(secret, out)[:, 0], a_vals > b_vals)
