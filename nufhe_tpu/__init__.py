@@ -102,6 +102,9 @@ from .models.integer import (
     uint_gt,
     uint_lt,
     uint_eq,
+    uint_div,
+    uint_mod,
+    uint_divmod,
     int_min,
     int_max,
     int_add,

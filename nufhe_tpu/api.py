@@ -236,6 +236,13 @@ class VirtualMachine:
         # shapes, so broadcasting must happen here, not inside a gate
         args = tuple(x if get_shape(x) == shape else x.broadcast_to(shape)
                      for x in args)
+        if name == 'uint_divmod':  # two results: (quotient, remainder)
+            q, r = (dest if dest is not None
+                    else (self.empty_ciphertext(shape),
+                          self.empty_ciphertext(shape)))
+            return integer.uint_divmod(
+                self.cloud_key, q, r, *args,
+                perf_params=self.perf_params, **kwds)
         if dest is None:
             dest = self.empty_ciphertext(
                 shape[:-1] + (1,) if name in self._UINT_BIT_RESULT

@@ -492,3 +492,62 @@ def bitarray_to_intarray(xs):
     ints = [int(_bits_to_uint(flat[j], np.uint64)) for j in range(flat.shape[0])]
     return np.array([v - mod if v >= half else v for v in ints],
                     dtype).reshape(xs.shape[:-1])
+
+
+def uint_divmod(cloud_key, quotient, remainder, a, b, parallel=False,
+                perf_params=None):
+    """Encrypted restoring division: quotient = a // b, remainder = a % b.
+
+    Classic MSB-first restoring division over a (w+1)-bit working
+    remainder: shift in the next dividend bit, compare against the
+    divisor, subtract where it fits (the quotient bit), keep the smaller
+    remainder via MUX.  ``parallel`` selects the log-depth comparator and
+    subtractor per iteration.  Division by an encrypted zero yields
+    quotient 2^w - 1 and remainder = a (the circuit's natural fixed
+    point; there is no exception channel inside FHE).
+    """
+    params = cloud_key.params
+    w = quotient.shape[-1]
+
+    rem = empty_ciphertext(params, a.shape[:-1] + (w + 1,))
+    gate_constant(cloud_key, rem, False)
+    b_ext = empty_ciphertext(params, a.shape[:-1] + (w + 1,))
+    gate_constant(cloud_key, b_ext, False)
+    b_ext[..., 1:] = b
+
+    for i in range(w):  # MSB first
+        rem2 = empty_ciphertext(params, a.shape[:-1] + (w + 1,))
+        rem2[..., :w] = rem[..., 1:]
+        rem2[..., w:w + 1] = a[..., i:i + 1]
+        # [rem2 < b] -> quotient bit is its negation (linear NOT)
+        lt = _compare_ladder(cloud_key, b_ext, rem2, parallel=parallel,
+                             perf_params=perf_params)
+        qb = empty_ciphertext(params, a.shape[:-1] + (1,))
+        gate_not(cloud_key, qb, lt, perf_params=perf_params)
+        quotient[..., i:i + 1] = qb
+        diff = empty_ciphertext(params, a.shape[:-1] + (w + 1,))
+        uint_sub(cloud_key, diff, rem2, b_ext, parallel=parallel,
+                 perf_params=perf_params)
+        newrem = empty_ciphertext(params, a.shape[:-1] + (w + 1,))
+        gate_mux(cloud_key, newrem, qb, diff, rem2, perf_params=perf_params)
+        rem = newrem
+    remainder[...] = rem[..., 1:]
+    return quotient, remainder
+
+
+def uint_div(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """answer = a // b (see ``uint_divmod`` for the b == 0 convention)."""
+    params = cloud_key.params
+    scratch = empty_ciphertext(params, answer.shape)
+    uint_divmod(cloud_key, answer, scratch, a, b, parallel=parallel,
+                perf_params=perf_params)
+    return answer
+
+
+def uint_mod(cloud_key, answer, a, b, parallel=False, perf_params=None):
+    """answer = a % b (see ``uint_divmod`` for the b == 0 convention)."""
+    params = cloud_key.params
+    scratch = empty_ciphertext(params, answer.shape)
+    uint_divmod(cloud_key, scratch, answer, a, b, parallel=parallel,
+                perf_params=perf_params)
+    return answer

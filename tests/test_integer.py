@@ -292,3 +292,36 @@ def test_signed_operators():
     out = vm.int_gt(ca, cb)
     assert out.shape == (n, 1)
     assert np.array_equal(nf.decrypt(secret, out)[:, 0], a_vals > b_vals)
+
+
+def test_uint_divmod():
+    """Restoring division (w=4, serial and parallel comparator), including
+    the all-ones quotient convention for an encrypted zero divisor."""
+    from nufhe_tpu.models.integer import uint_divmod
+    jax.clear_caches()
+    rng = nf.DeterministicRNG(15)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+
+    a_vals = np.array([13, 7, 9, 5], np.uint8)
+    b_vals = np.array([3, 7, 2, 0], np.uint8)
+    ca = nf.encrypt(rng, secret, uintarray_to_bitarray(a_vals, itemsize=4))
+    cb = nf.encrypt(rng, secret, uintarray_to_bitarray(b_vals, itemsize=4))
+
+    q = nf.empty_ciphertext(cloud.params, (4, 4))
+    r = nf.empty_ciphertext(cloud.params, (4, 4))
+    uint_divmod(cloud, q, r, ca, cb, parallel=True)
+    got_q = bitarray_to_uintarray(nf.decrypt(secret, q))
+    got_r = bitarray_to_uintarray(nf.decrypt(secret, r))
+    exp_q = np.array([4, 1, 4, 15], np.uint8)   # 5 // 0 -> 15 by convention
+    exp_r = np.array([1, 0, 1, 5], np.uint8)
+    assert np.array_equal(got_q, exp_q), got_q
+    assert np.array_equal(got_r, exp_r), got_r
+
+    # serial comparator path + the single-output wrappers through the VM
+    vm = nf.VirtualMachine(cloud)
+    d = vm.uint_div(ca, cb)
+    assert np.array_equal(
+        bitarray_to_uintarray(nf.decrypt(secret, d)), exp_q)
+    m = vm.uint_mod(ca, cb)
+    assert np.array_equal(
+        bitarray_to_uintarray(nf.decrypt(secret, m)), exp_r)
