@@ -18,13 +18,30 @@ import io
 
 import numpy as np
 
-from .numeric import Torus32
+from .numeric import Torus32, ErrorFloat
 from .params import (
     LweParams, TLweParams, TGswParams, NuFHEParameters)
 from .rng import (
     rand_uniform_bool, rand_uniform_torus32, rand_gaussian_torus32)
 from .ref import tlwe_ref, tgsw_ref, lwe_ref
 from . import serialization
+
+
+def _is_device_array(x):
+    """True for jax arrays (device-resident keygen outputs)."""
+    if x is None or isinstance(x, np.ndarray):
+        return False
+    import jax
+    return isinstance(x, jax.Array)
+
+
+def _keygen_on_device():
+    """Default keygen placement: on device whenever an accelerator backend
+    is active (the reference generates both cloud-key halves on the GPU,
+    ``nufhe/tlwe_gpu.py:111-196``, ``nufhe/lwe_gpu.py:63-124``); the host
+    numpy path remains the oracle and the CPU-backend default."""
+    import jax
+    return jax.default_backend() not in ('cpu',)
 
 
 class LweKey:
@@ -122,7 +139,8 @@ class BootstrapKey:
         self._device = None
 
     @classmethod
-    def from_rng(cls, rng, lwe_key: LweKey, tgsw_key: TGswKey):
+    def from_rng(cls, rng, lwe_key: LweKey, tgsw_key: TGswKey,
+                 on_device=None):
         bk_params = tgsw_key.params
         tlwe_params = bk_params.tlwe_params
         mask_size = tlwe_params.mask_size
@@ -132,11 +150,29 @@ class BootstrapKey:
         n = lwe_key.params.size
 
         # TGSW encrypt-zero for all (n, mask_size+1, decomp_length) rows;
-        # RNG order matches the reference (``nufhe/tlwe.py:185-196``):
-        # uniform mask noise first, then gaussian body noise.
+        # RNG stays on host in both placements (the reference's design,
+        # ``nufhe/random_numbers.py:18-27``) with the reference call order
+        # (``nufhe/tlwe.py:185-196``): uniform mask noise first, then
+        # gaussian body noise — so host and device keygen yield IDENTICAL
+        # keys for a seeded DeterministicRNG.
         shape = (n, mask_size + 1, decomp)
         noises1 = rand_uniform_torus32(rng, shape + (mask_size, poly_n))
         noises2 = rand_gaussian_torus32(rng, 0, noise, shape + (poly_n,))
+        if on_device is None:
+            on_device = _keygen_on_device()
+        if on_device:
+            # device keygen: binary-key negacyclic products as one int8
+            # MXU matmul (exact), gadget add on device; the coefficient
+            # samples stay device-resident for the device-side transform
+            import jax.numpy as jnp
+            from .ops import keygen as dkeygen
+            w = jnp.asarray(
+                dkeygen.negacyclic_key_matrix(tgsw_key.tlwe_key.key))
+            a = dkeygen.bootstrap_key_device(
+                w, jnp.asarray(lwe_key.key), jnp.asarray(noises1),
+                jnp.asarray(noises2), bk_params.base_powers)
+            cv = np.full(shape, noise**2, ErrorFloat)
+            return cls(lwe_key.params, bk_params, a, cv)
         a, cv = tlwe_ref.tlwe_encrypt_zero(
             tgsw_key.tlwe_key.key, noises1, noises2, noise)
         # message * gadget onto the diagonal (``nufhe/tgsw.py:142-161``)
@@ -155,11 +191,16 @@ class BootstrapKey:
         it was written with.
         """
         if self._limbs is None:
+            if self._compact is None and _is_device_array(self.bk_coeff):
+                self.compact()       # device transform -> compact form first
             if self._compact is not None:
                 # format-4 container: rebuild the canonical two-sided form
                 # on host (lossless; see transform.one_sided_limbs_host)
                 from .ops import transform as dtransform
-                self._limbs = dtransform.two_sided_limbs_host(*self._compact)
+                pos, delta = self._compact
+                self._limbs = dtransform.two_sided_limbs_host(
+                    np.asarray(pos),
+                    None if delta is None else np.asarray(delta))
             else:
                 from .ops import tgsw as dtgsw
                 exact = self.accum_params.transform_type != 'FFT'
@@ -170,10 +211,18 @@ class BootstrapKey:
     def compact(self):
         """One-sided compact form (pos_limbs, delta) — the serialized and
         uploaded payload; the -v side is derived on device at expansion
-        (half the container / H2D bytes of the two-sided form)."""
+        (half the container / H2D bytes of the two-sided form).  Device
+        keygen keeps this form device-resident (the transform+split runs
+        on device too, ``ops.keygen.bootstrap_key_limbs_device``)."""
         if self._compact is None:
-            from .ops import transform as dtransform
-            self._compact = dtransform.one_sided_limbs_host(self.limbs())
+            if self._limbs is None and _is_device_array(self.bk_coeff):
+                from .ops import keygen as dkeygen
+                exact = self.accum_params.transform_type != 'FFT'
+                self._compact = dkeygen.bootstrap_key_limbs_device(
+                    self.bk_coeff, exact=exact)
+            else:
+                from .ops import transform as dtransform
+                self._compact = dtransform.one_sided_limbs_host(self.limbs())
         return self._compact
 
     def device(self):
@@ -188,9 +237,9 @@ class BootstrapKey:
 
     def dump(self, file_obj):
         pos, delta = self.compact()
-        arrays = {"limbs_pos": pos, "cv": self.cv}
+        arrays = {"limbs_pos": np.asarray(pos), "cv": np.asarray(self.cv)}
         if delta is not None:
-            arrays["delta_bits"] = np.packbits(delta.reshape(-1))
+            arrays["delta_bits"] = np.packbits(np.asarray(delta).reshape(-1))
         serialization.dump(
             file_obj, {"kind": "BootstrapKey", "format": 4}, arrays)
 
@@ -246,7 +295,7 @@ class LweKeyswitchKey:
 
     @classmethod
     def from_tgsw_key(cls, rng, ks_decomp_length: int, ks_log2_base: int,
-                      lwe_key: LweKey, tgsw_key: TGswKey):
+                      lwe_key: LweKey, tgsw_key: TGswKey, on_device=None):
         extract_params = tgsw_key.params.tlwe_params.extracted_lweparams
         in_key = LweKey.from_tlwe_key(extract_params, tgsw_key.tlwe_key)
         out_key = lwe_key
@@ -263,6 +312,20 @@ class LweKeyswitchKey:
             centered=True)
         noises_a = rand_uniform_torus32(
             rng, (input_size, ks_decomp_length, base - 1, output_size))
+
+        if on_device is None:
+            on_device = _keygen_on_device()
+        if on_device:
+            # device build (reference kernel: nufhe/lwe_gpu.py:63-124);
+            # identical keys — same host noise draws, exact i32 body sum
+            from .ops import keygen as dkeygen
+            ks_a, ks_b = dkeygen.make_keyswitch_key_device(
+                in_key.key, out_key.key, noises_a, noises_b,
+                ks_decomp_length, ks_log2_base)
+            ks_cv = np.zeros((input_size, ks_decomp_length, base),
+                             ErrorFloat)
+            ks_cv[:, :, 1:] = noise**2
+            return cls(ks_a, ks_b, ks_cv, ks_log2_base)
 
         ks_a, ks_b, ks_cv = lwe_ref.make_keyswitch_key(
             in_key.key, out_key.key, noises_a, noises_b,
@@ -284,7 +347,8 @@ class LweKeyswitchKey:
         # — don't spend container bytes on them (1/base of the payload).
         # Guard the invariant: a hand-built key with nonzero slice 0
         # must not be silently changed by a dump/load round-trip.
-        if np.any(self.ks_a[:, :, 0]) or np.any(self.ks_b[:, :, 0]):
+        ks_a, ks_b = np.asarray(self.ks_a), np.asarray(self.ks_b)
+        if np.any(ks_a[:, :, 0]) or np.any(ks_b[:, :, 0]):
             raise ValueError(
                 "keyswitch key digit-0 slice is not the trivial zero "
                 "encryption; refusing the lossy format-2 dump")
@@ -292,9 +356,9 @@ class LweKeyswitchKey:
             file_obj,
             {"kind": "LweKeyswitchKey", "log2_base": self.log2_base,
              "format": 2},
-            {"ks_a_nz": self.ks_a[:, :, 1:],
-             "ks_b_nz": self.ks_b[:, :, 1:],
-             "ks_cv_nz": self.ks_cv[:, :, 1:]})
+            {"ks_a_nz": ks_a[:, :, 1:],
+             "ks_b_nz": ks_b[:, :, 1:],
+             "ks_cv_nz": np.asarray(self.ks_cv)[:, :, 1:]})
 
     @classmethod
     def load(cls, file_obj):
@@ -312,8 +376,10 @@ class LweKeyswitchKey:
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
-                and np.array_equal(self.ks_a, other.ks_a)
-                and np.array_equal(self.ks_b, other.ks_b))
+                and np.array_equal(np.asarray(self.ks_a),
+                                   np.asarray(other.ks_a))
+                and np.array_equal(np.asarray(self.ks_b),
+                                   np.asarray(other.ks_b)))
 
 
 def _params_meta(params: NuFHEParameters):
@@ -382,12 +448,14 @@ class NuFHECloudKey:
 
     @classmethod
     def from_rng(cls, params: NuFHEParameters, rng,
-                 secret_key: NuFHESecretKey, perf_params=None):
+                 secret_key: NuFHESecretKey, perf_params=None,
+                 on_device=None):
         tgsw_key = TGswKey.from_rng(params.tgsw_params, rng)
-        bk = BootstrapKey.from_rng(rng, secret_key.lwe_key, tgsw_key)
+        bk = BootstrapKey.from_rng(rng, secret_key.lwe_key, tgsw_key,
+                                   on_device=on_device)
         ks = LweKeyswitchKey.from_tgsw_key(
             rng, params.ks_decomp_length, params.ks_log2_base,
-            secret_key.lwe_key, tgsw_key)
+            secret_key.lwe_key, tgsw_key, on_device=on_device)
         return cls(params, bk, ks)
 
     def dump(self, file_obj):
@@ -425,8 +493,15 @@ class NuFHECloudKey:
 
 def make_key_pair(rng, **params):
     """Create a (secret key, cloud key) pair.
-    Reference: ``nufhe/api_low_level.py:242-250``."""
+    Reference: ``nufhe/api_low_level.py:242-250``.
+
+    ``on_device=False`` forces the host (numpy oracle) keygen path;
+    ``True`` the device path; default auto (device on accelerators).
+    Both produce identical keys for a seeded ``DeterministicRNG``.
+    """
+    on_device = params.pop("on_device", None)
     nufhe_params = NuFHEParameters(**params)
     secret_key = NuFHESecretKey.from_rng(nufhe_params, rng)
-    cloud_key = NuFHECloudKey.from_rng(nufhe_params, rng, secret_key)
+    cloud_key = NuFHECloudKey.from_rng(nufhe_params, rng, secret_key,
+                                       on_device=on_device)
     return secret_key, cloud_key

@@ -77,12 +77,41 @@ def lwe_noiseless_trivial(mus, lwe_size: int):
 _to_bf16 = jax.jit(lambda x: x.astype(jnp.bfloat16))
 
 
+@jax.jit
+def _ks_pack_device(ks_a, ks_b):
+    """Device twin of the host KS packing: per nonzero digit value, the
+    (rows, out+1) [a | b] table split into KS_LIMBS balanced radix-2^8
+    limbs, 128-lane padded, bf16.  The i32 digit loop equals the host
+    int64 loop bit-exactly (digits 0..3 of an i32 value depend only on
+    its low 32 bits)."""
+    input_size, decomp_length, base, output_size = ks_a.shape
+    rows = input_size * decomp_length
+    n_pad = -(-(output_size + 1) // 128) * 128
+
+    ab = jnp.concatenate([ks_a, ks_b[..., None]], axis=-1)
+    ab = ab.transpose(2, 0, 1, 3).reshape(base, rows, output_size + 1)[1:]
+    v = ab.astype(jnp.int32)
+    limbs = []
+    for _ in range(KS_LIMBS):
+        l0 = ((v + 128) & 255) - 128
+        limbs.append(l0)
+        v = (v - l0) >> KS_LIMB_BITS
+    limbs = jnp.stack(limbs, axis=1)     # (base-1, KS_LIMBS, rows, out+1)
+    padded = jnp.pad(
+        limbs, [(0, 0), (0, 0), (0, 0), (0, n_pad - output_size - 1)])
+    return padded.astype(jnp.bfloat16)
+
+
 def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
-    """Host->device preparation of the keyswitch key for the MXU path.
+    """Host/device -> device preparation of the keyswitch key for the MXU
+    path.
 
     Packs, for each nonzero digit value v, the (input_size * decomp_length,
     output_size + 1) table of [a | b] entries split into KS_LIMBS balanced
-    radix-2^8 limbs (bf16), plus the variance table (f32).
+    radix-2^8 limbs (bf16), plus the variance table (f32).  Device-resident
+    inputs (``ops.keygen.make_keyswitch_key_device``) are packed on device
+    with no host round-trip; numpy inputs are packed on host and uploaded
+    compactly as int8.
 
     :returns: dict of device arrays.
     """
@@ -90,27 +119,31 @@ def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
     rows = input_size * decomp_length
     n_pad = -(-(output_size + 1) // 128) * 128
 
-    ab = np.concatenate([ks_a, ks_b[..., None]], axis=-1)  # (in, l, base, out+1)
-    ab = ab.transpose(2, 0, 1, 3).reshape(base, rows, output_size + 1)
-    ab = ab[1:]  # digit 0 rows are trivial zero encryptions
+    if isinstance(ks_a, jax.Array):
+        ab_limbs = _ks_pack_device(ks_a, ks_b)
+    else:
+        ab = np.concatenate([ks_a, ks_b[..., None]], axis=-1)
+        ab = ab.transpose(2, 0, 1, 3).reshape(base, rows, output_size + 1)
+        ab = ab[1:]  # digit 0 rows are trivial zero encryptions
 
-    v = ab.astype(np.int64)
-    limbs = []
-    for _ in range(KS_LIMBS):
-        l0 = ((v + 128) & 255) - 128
-        limbs.append(l0.astype(np.int16))
-        v = (v - l0) >> KS_LIMB_BITS
-    limbs = np.stack(limbs, axis=1)  # (base-1, KS_LIMBS, rows, out+1)
+        v = ab.astype(np.int64)
+        limbs = []
+        for _ in range(KS_LIMBS):
+            l0 = ((v + 128) & 255) - 128
+            limbs.append(l0.astype(np.int16))
+            v = (v - l0) >> KS_LIMB_BITS
+        limbs = np.stack(limbs, axis=1)  # (base-1, KS_LIMBS, rows, out+1)
 
-    padded = np.zeros(limbs.shape[:-1] + (n_pad,), np.int8)
-    padded[..., :output_size + 1] = limbs
-    cv = ks_cv.transpose(2, 0, 1).reshape(base, rows)[1:].astype(np.float32)
+        padded = np.zeros(limbs.shape[:-1] + (n_pad,), np.int8)
+        padded[..., :output_size + 1] = limbs
+        # upload the compact int8 form (the host->device link is slow) and
+        # convert to bf16 on device
+        ab_limbs = _to_bf16(jnp.asarray(padded))
 
-    # upload the compact int8 form (the host->device link is slow) and
-    # convert to bf16 on device
+    cv = np.asarray(ks_cv).transpose(2, 0, 1).reshape(base, rows)[1:]
     arrays = dict(
-        ab_limbs=_to_bf16(jnp.asarray(padded)),
-        cv=jnp.asarray(cv),
+        ab_limbs=ab_limbs,
+        cv=jnp.asarray(cv.astype(np.float32)),
     )
     meta = KeyswitchMeta(
         base=base, decomp_length=decomp_length, log2_base=log2_base,
