@@ -161,6 +161,25 @@ def gadget_decomp(rot, mask1, decomp_length, log2_base, offset):
 #   neg:  2^15*(1 + 2^16) - w                  (fields <= 2^15: no borrow)
 # Rolls and selects act positionwise on packed words.  This halves the
 # VPU data volume of the forward transform (the hot VMEM-bound loop).
+#
+# BIAS-DEFERRED ("raw") radix-8 form (the round-4 default,
+# ``dif_forward_packed2``): every stage value is an i32-LINEAR function of
+# the packed inputs, so the per-op bias re-normalization constants of the
+# _pk_add/_pk_sub forms (1-2 extra VPU ops each; Mosaic does NOT constant-
+# fold them — measured) commute out entirely.  The pipeline computes with
+# plain +/- on fields biased by 512 (f = digit + 512, straight from the
+# decomposition masks), tracks each output's STATIC accumulated bias
+# (only the two all-sum output groups reach 32*512 = 2^14; every other
+# group's bias cancels in a difference), and applies ONE normalization
+# folded into ``packed_to_lhs``'s existing constant add (a per-row-slice
+# vector — zero extra passes).  Intermediate raw words may transiently
+# "borrow" across the 16-bit field boundary; the final bit pattern equals
+# the biased form's minus the tracked constants (exact i32 linearity), so
+# the normalized fields land in [0, 2^16) exactly as before — the result
+# is BIT-IDENTICAL to the biased form (asserted by the engine tests and
+# measured 4% faster per CMUX step; see DESIGN.md round 4).
+# The radix-4 staged form (``dif_forward_packed``) keeps the biased
+# convention with its invariants above.
 
 def _wrap32(v):
     """Python int -> two's-complement int32 value."""
@@ -259,42 +278,87 @@ def pack_pairs(a, b_):
             + ((b_ + jnp.int32(_B14)) << 16)).astype(jnp.int32)
 
 
+# raw-field bias of freshly packed digits (f = digit + 512 per field)
+_BP_RAW = 512 * (1 + (1 << 16))
+
+
+def pack_pairs_raw(a, b_):
+    """Two digit arrays in [-512, 512) -> RAW packed words (fields
+    f = v + 512, the bias-deferred convention of ``dif_forward_packed2``)."""
+    return ((a + jnp.int32(512)) + ((b_ + jnp.int32(512)) << 16)
+            ).astype(jnp.int32)
+
+
 def decomp_pack2(rot, mask1, log2_base, offset):
-    """Fused gadget decomposition + SWAR pair packing for decomp_length=2.
+    """Fused gadget decomposition + SWAR pair packing for decomp_length=2,
+    RAW convention (fields f = digit + base/2, no 2^14 re-bias — see the
+    bias-deferred note in the module header).
 
     The SWAR pairing for l=2 puts digits (g=2o, g=2o+1) = (dig 0, dig 1 of
     polynomial o) into one word — BOTH extracted from the same shifted
     value — and the packed row layout (j, pair=o, i) coincides with the acc
     row layout (j, o, i).  So the whole decomp+pack is elementwise on
-    ``rot``: the (M*g_total*R, b) digits array of the generic path is never
-    materialized.
+    ``rot`` (5 VPU ops: the high field lands at bit 16 via one masked
+    left-shift of the source word); the digits array of the generic path
+    is never materialized.
 
     :param rot: (mask1*1024, b) int32 acc-layout rows (j, o, i).
-    :returns: (mask1*1024, b) int32 packed digit pairs (biased fields),
-        rows (j, pair, i) with pair = o; bit-identical to
-        ``pack_pairs(gadget_decomp(...)[pairs])``.
+    :returns: (mask1*1024, b) int32 RAW packed digit pairs, rows
+        (j, pair, i) with pair = o; equals
+        ``pack_pairs_raw(gadget_decomp(...)[pairs])``.
     """
-    base_half = 1 << (log2_base - 1)
-    mask = (1 << log2_base) - 1
     shifted = rot + jnp.int32(offset)
     sh0 = 32 - log2_base
     sh1 = 32 - 2 * log2_base
-    f0 = ((shifted >> sh0) & mask) + jnp.int32(_B14 - base_half)
-    f1 = ((shifted >> sh1) & mask) + jnp.int32(_B14 - base_half)
-    return (f0 + (f1 << 16)).astype(jnp.int32)
+    mask = (1 << log2_base) - 1
+    f0 = (shifted >> sh0) & jnp.int32(mask)
+    # ((s >> sh1) & mask) << 16 == (s << (16 - sh1)) & (mask << 16)
+    f1s = (shifted << (16 - sh1)) & jnp.int32(mask << 16) if sh1 <= 16 \
+        else ((shifted >> (sh1 - 16)) & jnp.int32(mask << 16))
+    out = f0 + f1s
+    base_half = 1 << (log2_base - 1)
+    if base_half != 512:    # normalize to the standard raw bias (f = d+512)
+        out = out + jnp.int32(_wrap32((512 - base_half) * (1 + (1 << 16))))
+    return out.astype(jnp.int32)
+
+
+def _pk_rot_raw(w, e, bias2=0, blk=R):
+    """Negacyclic rotation of RAW packed words whose per-field bias is b
+    (``bias2`` = the packed constant 2*b*(1+2^16)): the wrap negation of a
+    raw word is K - w with K = 2b per field (value -v at the same bias b).
+    Zero-bias operands (every difference in the forward) use plain -w."""
+    e = e % (2 * blk)
+    neg = e >= blk
+    if neg:
+        e -= blk
+
+    def negate(x):
+        return (jnp.int32(_wrap32(bias2)) - x) if bias2 else -x
+    if e == 0:
+        return negate(w) if neg else w
+    hi = _roll(w, e)
+    lo = _roll(hi, -blk)      # == _roll(w, e - blk): aligned vreg reindex
+    if neg:
+        hi = negate(hi)
+    else:
+        lo = negate(lo)
+    return jnp.where(_mask(w, 'geq_mod', blk, e), hi, lo)
 
 
 def dif_forward_packed2(dig_pk, n_pk):
-    """Two-pass radix-8 DIF forward of packed pairs: merged head
+    """Two-pass radix-8 DIF forward of RAW packed pairs: merged head
     (h = 32, 16, 8 — the zero-padded initial stage folded in) and merged
-    tail (h = 4, 2, 1).  Bit-identical to ``dif_forward_packed`` (same
-    exact adds in the same ring; every packed operand is a stage value or
-    a uniform negacyclic rotation of one, so the SWAR field bounds of the
-    staged form carry over), but the array is materialized twice instead
-    of four times — the forward is VMEM-traffic-bound, not op-bound.
+    tail (h = 4, 2, 1), all adds/subs plain 1-op i32 (bias-deferred; see
+    the module header).  Output rows carry a STATIC per-row bias: the two
+    all-sum groups (grp 0 and 4, tail output slice 0) accumulate
+    32*512 = 2^14 per field (i.e. exactly the biased convention); every
+    other row's bias cancels in a difference and is zero —
+    ``packed_to_lhs`` folds the normalization into its constant add.
 
-    :param dig_pk: (M*n_pk*R, b) int32 packed digit pairs (biased fields).
-    :returns: (L*n_pk*R, b) int32 packed transform pairs.
+    :param dig_pk: (M*n_pk*R, b) int32 RAW packed digit pairs
+        (``decomp_pack2`` / ``pack_pairs_raw``).
+    :returns: (L*n_pk*R, b) int32 packed transform pairs (per-row bias as
+        above); ``packed_to_lhs(..., raw=True)`` consumes them.
     """
     stride = n_pk * R
     b = dig_pk.shape[-1]
@@ -304,55 +368,61 @@ def dif_forward_packed2(dig_pk, n_pk):
     # inputs a,b,c,d = A[j], A[j+8], A[j+16], A[j+24] combine through the
     # three radix-2 stages h=32 (trivial lo/Y^m hi on zero-padded input),
     # h=16 and h=8; common subexpressions are the stage-16 values.
+    # Bias bookkeeping (per field, units of 512): inputs 1; sums double;
+    # differences cancel to 0; rotations preserve (wrap negation uses the
+    # doubled-bias constant).
     groups = [[None] * 8 for _ in range(8)]
     for j in range(8):
         a = A[j]
         bb = A[j + 8]
         c = A[j + 16]
         d = A[j + 24]
-        c16 = _pk_rot_block(c, 16)
-        d16 = _pk_rot_block(d, 16)
-        p = _pk_add(a, c)                  # B0_j
-        q = _pk_add(bb, d)                 # B0_{j+8}
-        m_ = _pk_sub(a, c)                 # Y^{-2j} B0d_j
-        n_ = _pk_sub(bb, d)                # Y^{-2j-16} B0d_{j+8}
-        r = _pk_add(a, c16)                # Y^{-j} B1_j
-        s_ = _pk_sub(a, c16)               # Y^{-3j} B1d_j
-        t = _pk_add(bb, d16)               # Y^{-j-8} B1_{j+8}
-        u = _pk_sub(bb, d16)               # Y^{-3j-24} B1d_{j+8}
-        groups[0][j] = _pk_add(p, q)
-        groups[1][j] = _pk_rot_block(_pk_sub(p, q), 4 * j)
-        n16 = _pk_rot_block(n_, 16)
-        groups[2][j] = _pk_rot_block(_pk_add(m_, n16), 2 * j)
-        groups[3][j] = _pk_rot_block(_pk_sub(m_, n16), 6 * j)
-        t8 = _pk_rot_block(t, 8)
-        groups[4][j] = _pk_rot_block(_pk_add(r, t8), j)
-        groups[5][j] = _pk_rot_block(_pk_sub(r, t8), 5 * j)
-        u24 = _pk_rot_block(u, 24)
-        groups[6][j] = _pk_rot_block(_pk_add(s_, u24), 3 * j)
-        groups[7][j] = _pk_rot_block(_pk_sub(s_, u24), 7 * j)
+        c16 = _pk_rot_raw(c, 16, 2 * _BP_RAW)
+        d16 = _pk_rot_raw(d, 16, 2 * _BP_RAW)
+        p = a + c                          # B0_j         (bias 2)
+        q = bb + d                         # B0_{j+8}     (2)
+        m_ = a - c                         # Y^{-2j} B0d_j (0)
+        n_ = bb - d                        # (0)
+        r = a + c16                        # (2)
+        s_ = a - c16                       # (0)
+        t = bb + d16                       # (2)
+        u = bb - d16                       # (0)
+        groups[0][j] = p + q               # (4)
+        groups[1][j] = _pk_rot_raw(p - q, 4 * j)
+        n16 = _pk_rot_raw(n_, 16)
+        groups[2][j] = _pk_rot_raw(m_ + n16, 2 * j)
+        groups[3][j] = _pk_rot_raw(m_ - n16, 6 * j)
+        t8 = _pk_rot_raw(t, 8, 4 * _BP_RAW)
+        groups[4][j] = _pk_rot_raw(r + t8, j, 8 * _BP_RAW)   # (4)
+        groups[5][j] = _pk_rot_raw(r - t8, 5 * j)
+        u24 = _pk_rot_raw(u, 24)
+        groups[6][j] = _pk_rot_raw(s_ + u24, 3 * j)
+        groups[7][j] = _pk_rot_raw(s_ - u24, 7 * j)
     x = jnp.concatenate(
         [g.reshape(1, stride, b) for grp in groups for g in grp],
         axis=0).reshape(L * stride, b)
 
     # tail pass: radix-8 over groups of 8 consecutive slices
-    # (h=4: step 8; h=2: step 16; h=1: trivial twiddle)
+    # (h=4: step 8; h=2: step 16; h=1: trivial twiddle).  Per-row bias
+    # f(grp) = 4 for grp in {0, 4} else 0 is shared by all 8 slices, so
+    # differences stay bias-free and only the all-sum output (slice 0)
+    # reaches 8*f(grp) = 32 (= 2^14 per field).
     v = x.reshape(-1, 8, stride, b)
     xs = [v[:, m].reshape(-1, b) for m in range(8)]
-    s = [_pk_add(xs[m], xs[m + 4]) for m in range(4)]
-    d = [_pk_rot_block(_pk_sub(xs[m], xs[m + 4]), 8 * m) for m in range(4)]
-    ss0 = _pk_add(s[0], s[2])
-    ss1 = _pk_add(s[1], s[3])
-    sd0 = _pk_sub(s[0], s[2])
-    sd1 = _pk_rot_block(_pk_sub(s[1], s[3]), 16)
-    ds0 = _pk_add(d[0], d[2])
-    ds1 = _pk_add(d[1], d[3])
-    dd0 = _pk_sub(d[0], d[2])
-    dd1 = _pk_rot_block(_pk_sub(d[1], d[3]), 16)
-    outs = [_pk_add(ss0, ss1), _pk_sub(ss0, ss1),
-            _pk_add(sd0, sd1), _pk_sub(sd0, sd1),
-            _pk_add(ds0, ds1), _pk_sub(ds0, ds1),
-            _pk_add(dd0, dd1), _pk_sub(dd0, dd1)]
+    s = [xs[m] + xs[m + 4] for m in range(4)]
+    d = [_pk_rot_raw(xs[m] - xs[m + 4], 8 * m) for m in range(4)]
+    ss0 = s[0] + s[2]
+    ss1 = s[1] + s[3]
+    sd0 = s[0] - s[2]
+    sd1 = _pk_rot_raw(s[1] - s[3], 16)
+    ds0 = d[0] + d[2]
+    ds1 = d[1] + d[3]
+    dd0 = d[0] - d[2]
+    dd1 = _pk_rot_raw(d[1] - d[3], 16)
+    outs = [ss0 + ss1, ss0 - ss1,
+            sd0 + sd1, sd0 - sd1,
+            ds0 + ds1, ds0 - ds1,
+            dd0 + dd1, dd0 - dd1]
     return jnp.concatenate(
         [o.reshape(-1, 1, stride, b) for o in outs],
         axis=1).reshape(L * stride, b)
@@ -709,15 +779,30 @@ def normalize_dual(a, b_):
     return (a + (b_ >> INV_SHIFT)).astype(jnp.int32)
 
 
-def packed_to_lhs(xt_pk, n_pk, mac_dtype):
+def packed_to_lhs(xt_pk, n_pk, mac_dtype, raw=False):
     """Packed forward-transform words -> MAC lhs (L, C, b): split the
     balanced radix-2^8 limbs directly on the packed biased fields (one
     packed add yields both limb bytes of both fields) and interleave to
     the ``build_mac_rhs`` C-order (g = (pair, field), limb, u-lane) via
-    metadata-only reshapes."""
+    metadata-only reshapes.
+
+    ``raw=True`` consumes the bias-deferred ``dif_forward_packed2``
+    output: the normalization to the biased convention (2^14 per field on
+    every row EXCEPT the two already-biased all-sum groups) folds into
+    this function's constant add as a per-row-slice vector — zero extra
+    passes."""
     b = xt_pk.shape[-1]
     stride = 2 * n_pk * R
-    u = xt_pk + jnp.int32(0x00800080)
+    if raw:
+        rrow = jax.lax.broadcasted_iota(jnp.int32, (xt_pk.shape[0], 1), 0)
+        grp = rrow // (8 * n_pk * R)
+        out_sl = (rrow // (n_pk * R)) % 8
+        already = ((grp == 0) | (grp == 4)) & (out_sl == 0)
+        norm = _wrap32(_B14 * (1 + (1 << 16)))
+        u = xt_pk + jnp.where(already, jnp.int32(0x00800080),
+                              jnp.int32(_wrap32(0x00800080 + norm)))
+    else:
+        u = xt_pk + jnp.int32(0x00800080)
     sh = (L, n_pk, 1, 1, R, b)
     ev_a0 = ((u & 0xFF) - jnp.int32(128)).reshape(sh)
     od_a0 = (((u >> 16) & 0xFF) - jnp.int32(128)).reshape(sh)
@@ -771,11 +856,12 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         n_pk = g_total // 2
         if packed is None:
             dv = digits.reshape(M, n_pk, 2, R, b)
-            packed = pack_pairs(dv[:, :, 0], dv[:, :, 1]).reshape(
+            pack = pack_pairs_raw if radix8 else pack_pairs
+            packed = pack(dv[:, :, 0], dv[:, :, 1]).reshape(
                 M * n_pk * R, b)
         fwd = dif_forward_packed2 if radix8 else dif_forward_packed
         xt_pk = fwd(packed, n_pk)
-        lhs = packed_to_lhs(xt_pk, n_pk, mac_dtype)
+        lhs = packed_to_lhs(xt_pk, n_pk, mac_dtype, raw=radix8)
     else:
         xt = dif_forward(digits, g_total)    # (L*stride, b)
         a0 = ((xt + 128) & 255) - 128
@@ -876,9 +962,10 @@ def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
     :param p: (1, b) int32 in [0, 2N).
     """
     rot = rotate_acc(acc, p, mask1, minus_one=True)
-    if axis_name is None and decomp_length == 2:
+    if axis_name is None and decomp_length == 2 and radix8:
         # l=2 fast path: decomposition + SWAR packing fused, elementwise
-        # on ``rot`` — the digits array is never materialized
+        # on ``rot`` (raw convention, radix-8 forward only) — the digits
+        # array is never materialized
         packed = decomp_pack2(rot, mask1, log2_base, offset)
         delta = transformed_mac(
             None, rhs, mask1=mask1, g_total=mask1 * decomp_length,

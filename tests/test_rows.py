@@ -104,9 +104,17 @@ def test_radix8_two_pass_forms_bit_identical(rng):
     packed = re_.pack_pairs(
         jnp.asarray(dv[:, :, 0]), jnp.asarray(dv[:, :, 1])).reshape(
         re_.M * n_pk * re_.R, b)
+    packed_raw = re_.pack_pairs_raw(
+        jnp.asarray(dv[:, :, 0]), jnp.asarray(dv[:, :, 1])).reshape(
+        re_.M * n_pk * re_.R, b)
+    # the radix-8 form is bias-deferred: identical at the normalized
+    # MAC-lhs boundary (see the bias-deferral note in rows_engine)
     assert np.array_equal(
-        np.asarray(re_.dif_forward_packed(packed, n_pk)),
-        np.asarray(re_.dif_forward_packed2(packed, n_pk)))
+        np.asarray(re_.packed_to_lhs(
+            re_.dif_forward_packed(packed, n_pk), n_pk, jnp.int32)),
+        np.asarray(re_.packed_to_lhs(
+            re_.dif_forward_packed2(packed_raw, n_pk), n_pk, jnp.int32,
+            raw=True)))
 
     stride = 128
     x = rng.randint(-2**31, 2**31, (re_.L * stride, b)).astype(np.int32)
@@ -116,8 +124,8 @@ def test_radix8_two_pass_forms_bit_identical(rng):
 
 
 def test_decomp_pack2_and_fused_delta_path(rng):
-    """decomp_pack2 == gadget_decomp + pack_pairs (l=2), and the fused
-    dot_out_to_delta external step == the staged radix-4 step."""
+    """decomp_pack2 == gadget_decomp + pack_pairs_raw (l=2), and the
+    fused dot_out_to_delta external step == the staged radix-4 step."""
     params = NuFHEParameters()
     tp = params.tgsw_params
     b = 16
@@ -125,7 +133,7 @@ def test_decomp_pack2_and_fused_delta_path(rng):
     dig = re_.gadget_decomp(jnp.asarray(rot), 2, tp.decomp_length,
                             tp.bs_log2_base, int(tp.offset))
     dv = np.asarray(dig).reshape(re_.M, 2, 2, re_.R, b)
-    want = np.asarray(re_.pack_pairs(
+    want = np.asarray(re_.pack_pairs_raw(
         jnp.asarray(dv[:, :, 0]), jnp.asarray(dv[:, :, 1]))).reshape(
         2 * re_.N, b)
     got = np.asarray(re_.decomp_pack2(

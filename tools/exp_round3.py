@@ -80,7 +80,7 @@ def run(batch, lane_tile):
         rot = re_.rotate_acc(a, p, mask1, minus_one=True)
         packed = re_.decomp_pack2(rot, mask1, l2b, off)
         xt_pk = re_.dif_forward_packed2(packed, mask1)
-        lhs = re_.packed_to_lhs(xt_pk, mask1, mac)
+        lhs = re_.packed_to_lhs(xt_pk, mask1, mac, raw=True)
         lo3, hi3 = re_._mac_dot(lhs, r, mask1, mac)
         delta = re_.mac_out_to_delta(lo3, hi3, mask1, radix8=True)
         return (a + delta).astype(jnp.int32)
@@ -95,7 +95,7 @@ def run(batch, lane_tile):
         rot = re_.rotate_acc(a, p, mask1, minus_one=True)
         packed = re_.decomp_pack2(rot, mask1, l2b, off)
         xt_pk = re_.dif_forward_packed2(packed, mask1)
-        return re_.packed_to_lhs(xt_pk, mask1, mac)
+        return re_.packed_to_lhs(xt_pk, mask1, mac, raw=True)
 
     def back(dot_out, a):
         delta = re_.dot_out_to_delta(dot_out, mask1)

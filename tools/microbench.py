@@ -48,18 +48,23 @@ def sync_overhead():
 
 def timed_chain(fn, x, iters=4, inner=48):
     """fn: x -> x (same shape/dtype). Chained to serialize execution;
-    returns seconds per call with the single D2H sync subtracted."""
+    returns seconds per call with the single D2H sync subtracted.
+    ``NUFHE_PROFILE_DIR=<dir>`` captures an XLA/Mosaic device trace of the
+    measured region (``nufhe_tpu.utils.profiling``)."""
+    from nufhe_tpu.utils import profile_trace
+
     ov = sync_overhead()
     y = fn(x)
     np.asarray(y.ravel()[0])
     best = float('inf')
-    for _ in range(iters):
-        y = x
-        t0 = time.time()
-        for _ in range(inner):
-            y = fn(y)
-        np.asarray(y.ravel()[0])
-        best = min(best, (time.time() - t0 - ov) / inner)
+    with profile_trace():
+        for _ in range(iters):
+            y = x
+            t0 = time.time()
+            for _ in range(inner):
+                y = fn(y)
+            np.asarray(y.ravel()[0])
+            best = min(best, (time.time() - t0 - ov) / inner)
     return best
 
 
