@@ -53,10 +53,49 @@ def _maybe_enable_persistent_compilation_cache():
         path = os.environ.get("NUFHE_TPU_COMPILE_CACHE_DIR") or os.path.join(
             tempfile.gettempdir(), "nufhe_tpu_jaxcache_%d" % os.getuid())
         os.makedirs(path, exist_ok=True)
+        _diagnose_cache_dir(path)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        if os.environ.get("NUFHE_TPU_CACHE_DEBUG"):
+            # surface persistent-cache read/write activity — including
+            # SILENT write failures (jax logs and swallows them) — on stderr
+            jax.config.update(
+                "jax_debug_log_modules", "jax._src.compilation_cache")
     except Exception:
+        pass
+
+
+def _diagnose_cache_dir(path):
+    """Big fused-bootstrap cache entries run to hundreds of MB; a full or
+    read-only cache filesystem makes JAX drop writes SILENTLY (observed on
+    this rig: 'big entries occasionally fail to write').  Probe writability
+    and free space up front and warn loudly instead of failing quietly."""
+    import os
+    import sys
+    import uuid
+
+    try:
+        probe = os.path.join(path, ".probe-%s" % uuid.uuid4().hex)
+        with open(probe, "wb") as f:
+            f.write(b"x")
+        os.unlink(probe)
+    except OSError as exc:
+        print("nufhe_tpu: compilation cache dir %s is not writable (%s); "
+              "cold compiles will repeat every process. Set "
+              "NUFHE_TPU_COMPILE_CACHE_DIR to a writable path."
+              % (path, exc), file=sys.stderr)
+        return
+    try:
+        st = os.statvfs(path)
+        free_mb = st.f_bavail * st.f_frsize / 1e6
+        if free_mb < 1024:
+            print("nufhe_tpu: compilation cache dir %s has only %.0f MB "
+                  "free; large fused-bootstrap entries (up to ~500 MB) "
+                  "will silently fail to persist. Free space or set "
+                  "NUFHE_TPU_COMPILE_CACHE_DIR." % (path, free_mb),
+                  file=sys.stderr)
+    except OSError:
         pass
 
 from .api import (

@@ -16,6 +16,29 @@ from .gates import (
     gate_constant, gate_xnor, gate_xor, gate_and, gate_andyn, gate_or,
     gate_not, gate_copy, gate_mux)
 
+# Ripple vs Kogge-Stone auto-selection (``parallel=None``), calibrated on
+# v5e (ADDER_CROSSOVER_r04.json + MICROBENCH_r3b.log): the chip saturates
+# at ~2^13 bootstrapped bits per gate call; below saturation per-call
+# latency is flat, so the Kogge-Stone form (2 + 2*ceil(log2 w) dependent
+# calls of ~batch*width lanes) beats the ripple form (3w dependent calls
+# of ~batch lanes) exactly when its wide calls still fit under saturation.
+_SATURATION_LANES = 8192
+
+
+def _auto_parallel(batch_lanes, width):
+    """True (Kogge-Stone) when the folded batch*width gate calls stay
+    under chip saturation — the measured crossover; False (ripple,
+    fewest total bootstraps) above it."""
+    return batch_lanes * width * 2 <= _SATURATION_LANES
+
+
+def _resolve_parallel(parallel, x):
+    if parallel is not None:
+        return parallel
+    width = x.shape[-1]
+    batch_lanes = int(np.prod(x.shape[:-1])) if x.shape[:-1] else 1
+    return _auto_parallel(batch_lanes, width)
+
 
 def _uint_to_bits(x, bitsize):
     return np.array([((int(x) >> i) & 1 != 0) for i in reversed(range(bitsize))])
@@ -88,7 +111,7 @@ def _kogge_stone(cloud_key, G, P, keep_last_p=False, perf_params=None):
         d *= 2
 
 
-def uint_min(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_min(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Encrypted minimum of two unsigned integers (big-endian bit arrays).
 
     The reference's example composite circuit: a comparator ladder, then a
@@ -103,7 +126,7 @@ def uint_min(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def _compare_ladder(cloud_key, x, y, parallel=False, perf_params=None):
+def _compare_ladder(cloud_key, x, y, parallel=None, perf_params=None):
     """Comparison carry: returns an encrypted bit = [x > y].
 
     ``parallel=False``: bit-serial XNOR+MUX ladder (as in ``uint_min``) —
@@ -118,6 +141,7 @@ def _compare_ladder(cloud_key, x, y, parallel=False, perf_params=None):
     """
     params = cloud_key.params
     itemsize = x.shape[-1]
+    parallel = _resolve_parallel(parallel, x)
     if parallel:
         gt = empty_ciphertext(params, x.shape[:-1] + (itemsize,))
         eq = empty_ciphertext(params, x.shape[:-1] + (itemsize,))
@@ -137,7 +161,7 @@ def _compare_ladder(cloud_key, x, y, parallel=False, perf_params=None):
     return carry
 
 
-def uint_gt(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_gt(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = encrypted bit [a > b] (shape (..., 1))."""
     carry = _compare_ladder(cloud_key, a, b, parallel=parallel,
                             perf_params=perf_params)
@@ -145,7 +169,7 @@ def uint_gt(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def uint_lt(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_lt(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = encrypted bit [a < b] (shape (..., 1))."""
     carry = _compare_ladder(cloud_key, b, a, parallel=parallel,
                             perf_params=perf_params)
@@ -211,7 +235,7 @@ def _uint_sub_parallel(cloud_key, answer, a, b, perf_params=None):
     return answer
 
 
-def uint_add(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_add(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Encrypted addition (mod 2^itemsize).
 
     ``parallel=False`` (default): ripple carry, LSB to MSB —
@@ -222,10 +246,13 @@ def uint_add(cloud_key, answer, a, b, parallel=False, perf_params=None):
 
     ``parallel=True``: Kogge-Stone carry-lookahead — O(log2 w) dependent
     batched gate calls (each folding all bit positions into the lane
-    axis), ~3x the bootstrapped bits; the lowest latency, and the better
-    choice whenever the batch is below chip saturation (~2^13 bits).
+    axis), ~3x the bootstrapped bits.  Measured on v5e
+    (ADDER_CROSSOVER_r04.json): it wins only while its folded batch*width
+    calls stay under chip saturation (~2^13 lanes); above that the ripple
+    form's lower total bootstrap count wins (2x at batch 2048 x w=8).
+    ``parallel=None`` (default) picks by that rule (``_auto_parallel``).
     """
-    if parallel:
+    if _resolve_parallel(parallel, a):
         return _uint_add_parallel(cloud_key, answer, a, b,
                                   perf_params=perf_params)
     params = cloud_key.params
@@ -247,7 +274,7 @@ def uint_add(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def uint_mul(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_mul(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Encrypted multiplication a * b (mod 2^itemsize): shift-and-add.
 
     For each bit j of ``b`` (LSB first) one batched AND masks the shifted
@@ -261,6 +288,7 @@ def uint_mul(cloud_key, answer, a, b, parallel=False, perf_params=None):
     """
     params = cloud_key.params
     w = answer.shape[-1]
+    parallel = _resolve_parallel(parallel, a)
 
     acc = empty_ciphertext(params, answer.shape)
     p = empty_ciphertext(params, a.shape[:-1] + (1,))
@@ -297,7 +325,7 @@ def uint_mul(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def uint_max(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_max(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Encrypted maximum of two unsigned integers (big-endian bit arrays):
     the same comparison ladder as ``uint_min`` with the final selection
     flipped."""
@@ -308,7 +336,7 @@ def uint_max(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def uint_eq(cloud_key, answer, a, b, parallel=True, perf_params=None):
+def uint_eq(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = encrypted bit [a == b] (shape (..., 1)): tree AND-reduction
     of per-bit XNORs — one batched XNOR plus ceil(log2 w) batched ANDs
     (same bootstrap count as a sequential chain, log depth).  Already
@@ -331,7 +359,7 @@ def uint_eq(cloud_key, answer, a, b, parallel=True, perf_params=None):
     return answer
 
 
-def uint_sub(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_sub(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Encrypted subtraction a - b (mod 2^itemsize): a + NOT(b) with
     carry-in 1.
 
@@ -339,7 +367,7 @@ def uint_sub(cloud_key, answer, a, b, parallel=False, perf_params=None):
     sum = p XOR carry; carry' = p ? carry : a_i.
     ``parallel=True``: Kogge-Stone carry-lookahead (see ``uint_add``).
     """
-    if parallel:
+    if _resolve_parallel(parallel, a):
         return _uint_sub_parallel(cloud_key, answer, a, b,
                                   perf_params=perf_params)
     params = cloud_key.params
@@ -379,25 +407,25 @@ def _flip_msb(cloud_key, x, perf_params=None):
     return out
 
 
-def int_add(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def int_add(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Signed addition (mod 2^w): two's complement makes this the same
     circuit as ``uint_add``."""
     return uint_add(cloud_key, answer, a, b, parallel=parallel,
                     perf_params=perf_params)
 
 
-def int_sub(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def int_sub(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Signed subtraction (mod 2^w): identical to ``uint_sub``."""
     return uint_sub(cloud_key, answer, a, b, parallel=parallel,
                     perf_params=perf_params)
 
 
-def int_eq(cloud_key, answer, a, b, parallel=True, perf_params=None):
+def int_eq(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Signed equality: identical to ``uint_eq``."""
     return uint_eq(cloud_key, answer, a, b, perf_params=perf_params)
 
 
-def int_gt(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def int_gt(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = encrypted bit [a > b], signed (shape (..., 1))."""
     fa = _flip_msb(cloud_key, a, perf_params=perf_params)
     fb = _flip_msb(cloud_key, b, perf_params=perf_params)
@@ -405,7 +433,7 @@ def int_gt(cloud_key, answer, a, b, parallel=False, perf_params=None):
                    perf_params=perf_params)
 
 
-def int_lt(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def int_lt(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = encrypted bit [a < b], signed (shape (..., 1))."""
     fa = _flip_msb(cloud_key, a, perf_params=perf_params)
     fb = _flip_msb(cloud_key, b, perf_params=perf_params)
@@ -413,7 +441,7 @@ def int_lt(cloud_key, answer, a, b, parallel=False, perf_params=None):
                    perf_params=perf_params)
 
 
-def int_min(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def int_min(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Signed minimum: the unsigned comparator ladder on sign-flipped
     operands selects between the ORIGINAL operands."""
     fa = _flip_msb(cloud_key, a, perf_params=perf_params)
@@ -424,7 +452,7 @@ def int_min(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def int_max(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def int_max(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """Signed maximum (see ``int_min``)."""
     fa = _flip_msb(cloud_key, a, perf_params=perf_params)
     fb = _flip_msb(cloud_key, b, perf_params=perf_params)
@@ -494,7 +522,7 @@ def bitarray_to_intarray(xs):
                     dtype).reshape(xs.shape[:-1])
 
 
-def uint_divmod(cloud_key, quotient, remainder, a, b, parallel=False,
+def uint_divmod(cloud_key, quotient, remainder, a, b, parallel=None,
                 perf_params=None):
     """Encrypted restoring division: quotient = a // b, remainder = a % b.
 
@@ -535,7 +563,7 @@ def uint_divmod(cloud_key, quotient, remainder, a, b, parallel=False,
     return quotient, remainder
 
 
-def uint_div(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_div(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = a // b (see ``uint_divmod`` for the b == 0 convention)."""
     params = cloud_key.params
     scratch = empty_ciphertext(params, answer.shape)
@@ -544,7 +572,7 @@ def uint_div(cloud_key, answer, a, b, parallel=False, perf_params=None):
     return answer
 
 
-def uint_mod(cloud_key, answer, a, b, parallel=False, perf_params=None):
+def uint_mod(cloud_key, answer, a, b, parallel=None, perf_params=None):
     """answer = a % b (see ``uint_divmod`` for the b == 0 convention)."""
     params = cloud_key.params
     scratch = empty_ciphertext(params, answer.shape)

@@ -90,9 +90,27 @@ class TGswParams:
 class NuFHEParameters:
     """Parameters of the FHE scheme.
 
-    :param transform_type: ``'NTT'`` or ``'FFT'``.  Selects the reference
-        transform whose semantics the engine reproduces; on TPU both are
-        computed by the same exact Z/2^32 engine and give identical results.
+    :param transform_type: ``'NTT'`` or ``'FFT'`` — the reference's two
+        accuracy classes, mapped to the two modes of the Z/2^32 engine:
+
+        - ``'NTT'`` = the EXACT engine: every negacyclic product is the
+          exact integer result mod 2^32, bit-equal to the reference's
+          Goldilocks NTT path;
+        - ``'FFT'`` = the ROUNDED-KEY engine (the accuracy class of the
+          reference's f64 tangent-FFT path): the bootstrap-key spectrum
+          (values mod 2^38) is rounded to multiples of 2^6 ONCE at key
+          preparation (``ops.transform._limb_split_38``).  The
+          computation is exact integer arithmetic *given the rounded key*;
+          the dropped remainder becomes additional key noise — measured
+          ~4.3e-6 torus^2 per gate (~15% extra variance over the 500-step
+          bootstrap noise, dominated by a one-time structured-test-vector
+          injection; comfortably inside the 1/16 decryption margin) and
+          tracked in ``current_variances`` via
+          ``ref.bootstrap_ref.blind_rotate_variance(exact=False)``.  It is
+          ~20% faster and its keys are ~20% smaller.  Results are NOT
+          bit-identical to the 'NTT' mode (they decrypt to the same
+          plaintexts at a slightly higher noise level), mirroring the
+          reference where the two backends also differ bit-wise.
     :param tlwe_mask_size: number of polynomials in the TLWE mask (k).
 
     The non-default knobs (``tlwe_polynomial_degree``, ``lwe_size``, ...) are

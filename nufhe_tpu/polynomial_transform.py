@@ -5,10 +5,13 @@ API parity with the reference facade (``nufhe/polynomial_transform.py``,
 module interface per ``transform_type`` exposing the transformed dtype/length,
 reference (host) transforms, and transformed-space arithmetic.
 
-On device both backends are served by the same exact Z/2^32 Nussbaumer
-engine (``ops/transform.py``); these backends define the *reference domain
-semantics* (u64 Goldilocks field vs complex128) used by the oracle layer and
-available to users who need the reference's transformed representation.
+On device both backends are served by the Z/2^32 Nussbaumer engine
+(``ops/transform.py``) in its two accuracy modes — 'NTT' selects the exact
+engine, 'FFT' the rounded-key engine (the accuracy class of the reference's
+f64 FFT path; see ``params.NuFHEParameters``).  These facade backends define
+the *reference domain semantics* (u64 Goldilocks field vs complex128) used
+by the oracle layer and available to users who need the reference's
+transformed representation.
 """
 
 import numpy as np

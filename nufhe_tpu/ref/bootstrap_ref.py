@@ -89,12 +89,21 @@ def blind_rotate_variance(params, n_steps: int, exact=True) -> float:
     ``nufhe/blind_rotate.py:254``); this estimate makes ``cv`` a usable
     noise-budget signal through gates.
 
-    ``exact=False`` adds the rounded-key ('FFT' mode) term: per external
-    product polynomial pair the key-spectrum rounding (error uniform in
-    [-32, 31] per slot) contributes an absolute output variance of
-    ~N * (B^2/12) * (64^2/12) / 32 in Torus32 units (the 1/32 reflects the
-    transform's zero-padded fold structure; matches the measured 2^14.9
-    per-pair error std within 3%).
+    ``exact=False`` adds the rounded-key ('FFT' mode) terms:
+
+    - per-step: each external-product polynomial pair's key-spectrum
+      rounding (error uniform in [-32, 31] per slot) contributes an
+      absolute output variance of ~N * (B^2/12) * (64^2/12) / 32 in
+      Torus32 units (matches the measured 2^14.9 per-pair error std for
+      RANDOM accumulator digits within 3%);
+    - a one-time structured-accumulator injection: during the first few
+      CMUX steps the accumulator is still the highly structured test
+      vector, whose coherent digit spectra couple with the FIXED rounding
+      pattern of the key spectrum — the error sum adds coherently
+      (~2^23 absolute std, vs 2^14.9 once the accumulator randomizes).
+      Measured across seeds and ladder lengths (n = 16 and 32 both show
+      ~4.3e-6 extra torus^2 variance, CONSTANT in n — see DESIGN.md
+      round 4): tracked as a constant with 1.5x headroom.
     """
     tlwe_params = params.tlwe_params
     k = tlwe_params.mask_size
@@ -109,4 +118,6 @@ def blind_rotate_variance(params, n_steps: int, exact=True) -> float:
         base_sq = float(2 ** log2b) ** 2
         pair_var_abs = n_poly * (base_sq / 12.0) * (64.0 ** 2 / 12.0) / 32.0
         var += n_steps * (k + 1) * l * pair_var_abs / 2.0 ** 64
+        var += 6.5e-6      # structured test-vector injection (measured
+        #                    4.3e-6 across seeds/ladder lengths, x1.5)
     return var

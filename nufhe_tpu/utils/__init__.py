@@ -14,3 +14,6 @@ def errors_allclose(a, b, rtol=1e-3, atol=1e-8):
     """Comparison for accumulated float32 noise variances
     (mirrors the tolerance used by the reference tests, test/utils.py:60-64)."""
     return np.allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+
+
+from .profiling import profile_trace, annotate  # noqa: E402,F401

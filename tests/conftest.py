@@ -29,8 +29,12 @@ def rng():
     return np.random.RandomState(42)
 
 
-@pytest.fixture(params=["NTT", "FFT"])
+@pytest.fixture(scope="module", params=["NTT", "FFT"])
 def transform_type(request):
+    """Engine accuracy mode: 'NTT' = exact, 'FFT' = rounded-key (the
+    reference parametrizes its whole suite the same way,
+    ``/root/reference/test/conftest.py:81-88``).  Module-scoped so
+    module-scoped key fixtures can parametrize over it."""
     return request.param
 
 

