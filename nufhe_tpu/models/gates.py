@@ -80,10 +80,11 @@ def _broadcast_flat(ct, shape, lwe_size):
 
 @partial(jax.jit, static_argnames=(
     'mu', 'tgsw_params', 'ks_meta', 'no_keyswitch', 'use_pallas',
-    'lane_tile', 'vmem_limit_mb', 'chunk_steps'))
+    'lane_tile', 'vmem_limit_mb', 'chunk_steps', 'coarse_phase_bits'))
 def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
                       tgsw_params, ks_meta, no_keyswitch, use_pallas=None,
-                      lane_tile=None, vmem_limit_mb=None, chunk_steps=1):
+                      lane_tile=None, vmem_limit_mb=None, chunk_steps=1,
+                      coarse_phase_bits=0):
     """temp = (0, const) + sum_i coeffs[i] * inputs[i]; bootstrap(temp).
 
     ``const`` and ``coeffs`` are traced scalars, so all two-input gates share
@@ -101,7 +102,8 @@ def _linear_bootstrap(inputs, const, coeffs, bk_dev, ks_arrays, *, mu,
         ta.astype(jnp.int32), tb.astype(jnp.int32), bk_dev, ks_arrays,
         ks_meta, mu, tgsw_params, no_keyswitch=no_keyswitch,
         use_pallas=use_pallas, lane_tile=lane_tile,
-        vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps)
+        vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps,
+        coarse_phase_bits=coarse_phase_bits)
 
 
 def _perf_kwargs(perf_params):
@@ -110,7 +112,9 @@ def _perf_kwargs(perf_params):
     return dict(use_pallas=perf_params.single_kernel_bootstrap,
                 lane_tile=perf_params.batch_tile,
                 vmem_limit_mb=getattr(perf_params, 'vmem_limit_mb', None),
-                chunk_steps=getattr(perf_params, 'chunk_steps', 1))
+                chunk_steps=getattr(perf_params, 'chunk_steps', 1),
+                coarse_phase_bits=getattr(
+                    perf_params, 'coarse_phase_bits', 0))
 
 
 def _looks_like_vmem_oom(exc) -> bool:

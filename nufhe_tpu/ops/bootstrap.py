@@ -48,9 +48,28 @@ def lane_tile_for(batch: int, vmem_limit_mb: int, mask1: int = 2):
     return None
 
 
+def round_phase_coarse(bara, bits: int, n_poly: int):
+    """Coarse modulus switch: round [0, 2N) rotation amounts to multiples
+    of 2^bits with a ZERO-MEAN tie rule (the adjustment direction for
+    exact ties comes from the next-higher phase bit, which is uniform),
+    wrapping mod 2N.  Lets the barrel rotation skip its lowest ``bits``
+    rounds statically (``rotate_acc(skip_low_bits=bits)``); the cost is
+    extra phase noise of ~n * 2^(2*bits-2)/3 steps^2 per gate, tracked in
+    ``blind_rotate_variance(coarse_phase_bits=bits)``.
+    Off by default (``PerformanceParameters(coarse_phase_bits=0)``)."""
+    if not bits:
+        return bara
+    step = 1 << bits
+    half = step >> 1
+    rem = bara & jnp.int32(step - 1)
+    up = (rem > half) | ((rem == half) & (((bara >> bits) & 1) == 1))
+    out = bara - rem + jnp.where(up, jnp.int32(step), jnp.int32(0))
+    return (out & jnp.int32(2 * n_poly - 1)).astype(jnp.int32)
+
+
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                  use_pallas=None, lane_tile=None, slot_axis_name=None,
-                 vmem_limit_mb=None, chunk_steps=1):
+                 vmem_limit_mb=None, chunk_steps=1, coarse_phase_bits=0):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     On TPU (and without tensor parallelism) each CMUX step runs as one
@@ -150,7 +169,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
             rot_chunk = pbr.make_blind_rotate_chunk(
                 mask1, decomp_length, log2_base, offset, chunk,
                 lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
-                vmem_limit_mb=vmem_limit_mb)
+                vmem_limit_mb=vmem_limit_mb,
+                skip_low_bits=coarse_phase_bits)
 
             def body_c(i, a):
                 return rot_chunk(a, bara3, bk_dev, i * chunk)
@@ -160,7 +180,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
             step = pbr.make_external_step_rows(
                 mask1, decomp_length, log2_base, offset,
                 lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
-                vmem_limit_mb=vmem_limit_mb)
+                vmem_limit_mb=vmem_limit_mb,
+                skip_low_bits=coarse_phase_bits)
 
             def body(i, a):
                 powers = jax.lax.dynamic_index_in_dim(
@@ -192,7 +213,7 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
 def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
                      no_keyswitch=False, axis_name=None, use_pallas=None,
                      lane_tile=None, slot_axis_name=None, vmem_limit_mb=None,
-                     chunk_steps=1):
+                     chunk_steps=1, coarse_phase_bits=0):
     """Full gate bootstrap on device.
 
     result = LWE(mu) if phase > 0 else LWE(-mu); fresh noise.
@@ -207,6 +228,8 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
 
     barb = t32_to_phase(lwe_b, 2 * n_poly)
     bara = t32_to_phase(lwe_a, 2 * n_poly)
+    if coarse_phase_bits:
+        bara = round_phase_coarse(bara, coarse_phase_bits, n_poly)
 
     # testvector = X^{2N - barb} * (mu, ..., mu)
     testvect = jnp.full(lwe_b.shape + (n_poly,), jnp.int32(mu))
@@ -216,7 +239,8 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     accum = blind_rotate(accum, bk_dev, bara, tgsw_params,
                          axis_name=axis_name, use_pallas=use_pallas,
                          lane_tile=lane_tile, slot_axis_name=slot_axis_name,
-                         vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps)
+                         vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps,
+                         coarse_phase_bits=coarse_phase_bits)
 
     ex_a, ex_b = dtlwe.tlwe_extract_lwe_samples(accum)
 
@@ -228,7 +252,8 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     from ..ref.bootstrap_ref import blind_rotate_variance
     o_r = (mask_size + 1) * 32
     exact = bk_dev.shape[-1] // o_r != 4
-    var_br = blind_rotate_variance(tgsw_params, lwe_a.shape[-1], exact=exact)
+    var_br = blind_rotate_variance(tgsw_params, lwe_a.shape[-1], exact=exact,
+                                   coarse_phase_bits=coarse_phase_bits)
     ex_cv = jnp.full(ex_b.shape, jnp.float32(var_br))
 
     if no_keyswitch:

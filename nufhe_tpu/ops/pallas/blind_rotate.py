@@ -28,7 +28,7 @@ from .. import rows_engine as re_
 def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, lane_tile: int = 128,
                             mac_dtype=jnp.int8, interpret: bool = False,
-                            vmem_limit_mb: int = 120):
+                            vmem_limit_mb: int = 120, skip_low_bits: int = 0):
     """Rows-layout fused step kernel: polynomial dims on rows (cheap
     vreg-reindex rolls), batch on lanes (one lane tile per grid cell)."""
     n_rows = mask1 * re_.N
@@ -37,7 +37,8 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
         out_ref[:, :] = re_.external_step(
             acc_ref[:, :], p_ref[:, :], rhs_ref[:, :, :],
             mask1=mask1, decomp_length=decomp_length,
-            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype)
+            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype,
+            skip_low_bits=skip_low_bits)
 
     def step(acc_rows, p, rhs_row):
         b = acc_rows.shape[-1]
@@ -70,7 +71,7 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
 def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, chunk: int, lane_tile: int = 512,
                             mac_dtype=jnp.int8, interpret: bool = False,
-                            vmem_limit_mb: int = 120):
+                            vmem_limit_mb: int = 120, skip_low_bits: int = 0):
     """``chunk`` consecutive CMUX steps as ONE pallas_call.
 
     Grid = (batch cells, steps-in-chunk); the accumulator is the revisited
@@ -98,7 +99,8 @@ def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
         out_ref[:, :] = re_.external_step(
             out_ref[:, :], bara_ref[0], rhs_ref[0],
             mask1=mask1, decomp_length=decomp_length,
-            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype)
+            log2_base=log2_base, offset=offset, mac_dtype=mac_dtype,
+            skip_low_bits=skip_low_bits)
 
     def rotate(acc_rows, bara3, bk_dev, start):
         """One chunk: steps [start, start+chunk) of the rotation.

@@ -101,19 +101,23 @@ def rot_block(x, e, blk=R):
                      _roll(x, e), -_roll(x, e - blk))
 
 
-def rotate_acc(x, p, mask1, minus_one=False):
+def rotate_acc(x, p, mask1, minus_one=False, skip_low_bits=0):
     """X^p * x per batch lane; x: (mask1*1024, b) acc layout, p: (1, b).
 
     The acc spans exactly one region (mask1*N rows), so the j-block roll is
     a plain cyclic whole-array roll, and the Y-carry of wrapped j-blocks
     touches only the first k*stride rows — computed on that slice alone
     instead of a full-array masked rot_block.
+
+    :param skip_low_bits: barrel rounds statically skipped because the
+        caller guarantees p is a multiple of 2^skip_low_bits (the coarse
+        modulus switch, ``PerformanceParameters(coarse_phase_bits=...)``).
     """
     stride = mask1 * R                       # rows per j-block
     region = mask1 * N
     assert x.shape[0] == region, (x.shape, region)
     out = x
-    for b in range(5):                       # X^(2^b): j-block rolls + carry
+    for b in range(skip_low_bits, 5):        # X^(2^b): j-block rolls + carry
         k = 1 << b
         rolled = _roll(out, stride * k)
         carry = rot_block(rolled[:k * stride], 1)
@@ -653,7 +657,7 @@ def _combine_groups(ps_slices):
     return a, b_
 
 
-def dot_out_to_delta(out, mask1):
+def dot_out_to_delta(out, mask1, acc=None):
     """Raw MAC dot output (L, Q, b) -> acc-layout delta (mask1*1024, b).
 
     Same mathematics as ``_combine_groups`` + ``dit_inverse2`` + fold +
@@ -661,6 +665,10 @@ def dot_out_to_delta(out, mask1):
     inverse pass (computed per slot-slice as it is read) and the
     normalization into the second (emitted per fold output) — neither the
     dual-channel array nor the folded array is ever materialized.
+
+    :param acc: optional (mask1*1024, b) int32 accumulator ADDED per
+        output slice as it is emitted (the CMUX acc update; fusing it here
+        removes the separate full-array add pass — measured -0.02 ms/step).
     """
     b = out.shape[-1]
     o_r = mask1 * R
@@ -762,8 +770,17 @@ def dot_out_to_delta(out, mask1):
         for zi, (ga, gb) in enumerate(((g0, g4), (g1, g5),
                                        (g2, g6), (g3, g7))):
             c = ga + rot_block(gb, 1)   # fold: ([ch,] o, k) rows x b
-            outs[zi][j] = (normalize_dual(c[:o_r], c[o_r:]) if two_ch
-                           else c.astype(jnp.int32))
+            d_ = (normalize_dual(c[:o_r], c[o_r:]) if two_ch
+                  else c.astype(jnp.int32))
+            if acc is not None:
+                # output slot q = zi*8 + j lands at acc rows
+                # [q*o_r, (q+1)*o_r): fuse the CMUX accumulator add
+                q_idx = zi * 8 + j
+                d_ = (d_.reshape(o_r, b)
+                      + jax.lax.slice_in_dim(
+                          acc, q_idx * o_r, (q_idx + 1) * o_r, axis=0)
+                      ).astype(jnp.int32)
+            outs[zi][j] = d_
     return jnp.concatenate(
         [o.reshape(1, o_r, b) for grp in outs for o in grp],
         axis=0).reshape(mask1 * N, b)
@@ -816,7 +833,7 @@ def packed_to_lhs(xt_pk, n_pk, mac_dtype, raw=False):
 
 def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
                     axis_name=None, slot_axis_name=None, swar=True,
-                    packed=None, radix8=True):
+                    packed=None, radix8=True, acc=None):
     """sum_g digits_g * key_g, rows layout.
 
     :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9
@@ -837,7 +854,11 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         e.g. from ``decomp_pack2``) — skips the pack step entirely.
     :param radix8: use the two-pass radix-8 forms of the forward/inverse
         (bit-identical; fewer VMEM materializations).
-    :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)).
+    :param acc: optional accumulator fused into the inverse's output
+        emission (non-sharded radix-8 path only); when given the RESULT
+        INCLUDES acc (i.e. it is the updated accumulator, not the delta).
+    :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)),
+        plus ``acc`` when given.
     """
     b = (digits if packed is None else packed).shape[-1]
     c_size, q_size = rhs.shape[-2], rhs.shape[-1]
@@ -894,9 +915,9 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         out = _mac_dot_raw(lhs, rhs, mac_dtype)
         if radix8:
             # fused path: group combine rides the first inverse pass,
-            # normalization/extraction the second — no channel
-            # materialization
-            return dot_out_to_delta(out, mask1)
+            # normalization/extraction the second (and the CMUX acc add
+            # when ``acc`` is given) — no channel materialization
+            return dot_out_to_delta(out, mask1, acc=acc)
         o_r_ = mask1 * R
         lo3, hi3 = _combine_groups(
             [jax.lax.slice_in_dim(out, s * o_r_, (s + 1) * o_r_, axis=1)
@@ -955,18 +976,25 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
                   mac_dtype=jnp.int8, axis_name=None,
-                  slot_axis_name=None, radix8=True):
+                  slot_axis_name=None, radix8=True, skip_low_bits=0):
     """One CMUX step in rows layout: ACC += BK (x) decomp((X^p - 1) ACC).
 
     :param acc: (mask1*1024, b) int32 rows (j, o, i).
-    :param p: (1, b) int32 in [0, 2N).
+    :param p: (1, b) int32 in [0, 2N), a multiple of 2^skip_low_bits.
     """
-    rot = rotate_acc(acc, p, mask1, minus_one=True)
+    rot = rotate_acc(acc, p, mask1, minus_one=True,
+                     skip_low_bits=skip_low_bits)
     if axis_name is None and decomp_length == 2 and radix8:
         # l=2 fast path: decomposition + SWAR packing fused, elementwise
         # on ``rot`` (raw convention, radix-8 forward only) — the digits
-        # array is never materialized
+        # array is never materialized; with no slot sharding the CMUX
+        # accumulator add fuses into the inverse's output emission
         packed = decomp_pack2(rot, mask1, log2_base, offset)
+        if slot_axis_name is None:
+            return transformed_mac(
+                None, rhs, mask1=mask1, g_total=mask1 * decomp_length,
+                mac_dtype=mac_dtype, packed=packed, radix8=radix8,
+                acc=acc).astype(jnp.int32)
         delta = transformed_mac(
             None, rhs, mask1=mask1, g_total=mask1 * decomp_length,
             mac_dtype=mac_dtype, slot_axis_name=slot_axis_name,

@@ -55,7 +55,8 @@ class PerformanceParameters:
                  single_kernel_bootstrap=None,
                  batch_tile=None,
                  vmem_mb=None,
-                 chunk_steps=None):
+                 chunk_steps=None,
+                 coarse_phase_bits=None):
         """
         :param single_kernel_bootstrap: use the fused Pallas blind-rotate
             kernel (``None`` = auto: enabled on TPU when supported).
@@ -66,29 +67,35 @@ class PerformanceParameters:
         :param chunk_steps: CMUX steps fused into one multi-step Pallas
             launch (VMEM-revisited accumulator; key rows stream under
             prefetch double-buffering).  ``None`` = resolve from the
-            ``NUFHE_TPU_CHUNK_STEPS`` env var, defaulting to per-step
-            launches (measured speed-equal on v5e at ~2x the cold Mosaic
-            compile time, so 1 is the default).
+            ``NUFHE_TPU_CHUNK_STEPS`` env var, defaulting to 25 on TPU:
+            with the round-4 engine the per-step accumulator HBM
+            round-trip (~0.43 ms floor at batch 2^14) is no longer fully
+            hidden behind compute, and chunk=25 measures 2.4% faster than
+            per-step launches (1.269 vs 1.300 ms/step; round 3 had them
+            speed-equal).  Set 1 to minimize cold Mosaic compile time.
         """
         self.nufhe_params = nufhe_params
         self.single_kernel_bootstrap = single_kernel_bootstrap
         self.batch_tile = batch_tile
         self.vmem_mb = vmem_mb
         self.chunk_steps = chunk_steps
+        self.coarse_phase_bits = coarse_phase_bits
 
     def for_device(self, device=None):
         return PerformanceParametersForDevice(self, device)
 
     def __hash__(self):
         return hash((self.__class__, self.single_kernel_bootstrap,
-                     self.batch_tile, self.vmem_mb, self.chunk_steps))
+                     self.batch_tile, self.vmem_mb, self.chunk_steps,
+                     self.coarse_phase_bits))
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
                 and self.single_kernel_bootstrap == other.single_kernel_bootstrap
                 and self.batch_tile == other.batch_tile
                 and self.vmem_mb == other.vmem_mb
-                and self.chunk_steps == other.chunk_steps)
+                and self.chunk_steps == other.chunk_steps
+                and self.coarse_phase_bits == other.coarse_phase_bits)
 
 
 class PerformanceParametersForDevice:
@@ -109,8 +116,17 @@ class PerformanceParametersForDevice:
         self.batch_tile = perf_params.batch_tile
         chunk = perf_params.chunk_steps
         if chunk is None:
-            chunk = int(os.environ.get("NUFHE_TPU_CHUNK_STEPS", "1"))
+            chunk = int(os.environ.get(
+                "NUFHE_TPU_CHUNK_STEPS", "25" if on_tpu else "1"))
         self.chunk_steps = max(1, int(chunk))
+        coarse = perf_params.coarse_phase_bits
+        if coarse is None:
+            # opt-in speed/noise trade: round rotation amounts to
+            # multiples of 2^bits and skip the low barrel rounds (see
+            # ops.bootstrap.round_phase_coarse); 0 keeps the reference's
+            # exact modulus switch
+            coarse = int(os.environ.get("NUFHE_TPU_COARSE_PHASE_BITS", "0"))
+        self.coarse_phase_bits = max(0, min(4, int(coarse)))
         self.platform = platform
         self.device_kind = getattr(device, "device_kind", "")
         vmem = perf_params.vmem_mb
@@ -121,7 +137,7 @@ class PerformanceParametersForDevice:
     def __hash__(self):
         return hash((self.__class__, self.single_kernel_bootstrap,
                      self.batch_tile, self.platform, self.vmem_limit_mb,
-                     self.chunk_steps))
+                     self.chunk_steps, self.coarse_phase_bits))
 
     def __eq__(self, other):
         return (self.__class__ == other.__class__
@@ -129,4 +145,5 @@ class PerformanceParametersForDevice:
                 and self.batch_tile == other.batch_tile
                 and self.platform == other.platform
                 and self.vmem_limit_mb == other.vmem_limit_mb
-                and self.chunk_steps == other.chunk_steps)
+                and self.chunk_steps == other.chunk_steps
+                and self.coarse_phase_bits == other.coarse_phase_bits)

@@ -78,7 +78,8 @@ def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
     return out_a, out_b, (out_cv + ex_cv).astype(np.float32)
 
 
-def blind_rotate_variance(params, n_steps: int, exact=True) -> float:
+def blind_rotate_variance(params, n_steps: int, exact=True,
+                          coarse_phase_bits: int = 0) -> float:
     """Fresh-noise variance estimate through the n-step blind rotation
     (CGGI16 bound; sample extraction preserves variance):
 
@@ -120,4 +121,12 @@ def blind_rotate_variance(params, n_steps: int, exact=True) -> float:
         var += n_steps * (k + 1) * l * pair_var_abs / 2.0 ** 64
         var += 6.5e-6      # structured test-vector injection (measured
         #                    4.3e-6 across seeds/ladder lengths, x1.5)
+    if coarse_phase_bits:
+        # coarse modulus switch (ops.bootstrap.round_phase_coarse):
+        # per-step phase error e*s with E[s^2] = 1/2 and E[e^2] ~
+        # 2^(2*bits)/6 rotation steps^2 (zero-mean rounding to multiples
+        # of 2^bits), one step = 1/(2N) of the torus
+        n_poly = params.tlwe_params.polynomial_degree
+        step_var = (2.0 ** (2 * coarse_phase_bits)) / 6.0 / 2.0
+        var += n_steps * step_var / float(2 * n_poly) ** 2
     return var

@@ -164,6 +164,31 @@ def test_transform_type_fft_variant():
     assert np.array_equal(nf.decrypt(secret, res2), a | b)
 
 
+def test_gate_coarse_phase_bits():
+    """Opt-in coarse modulus switch (PerformanceParameters(
+    coarse_phase_bits=k)): rotation amounts rounded to multiples of 2^k
+    with a zero-mean tie rule, low barrel rounds statically skipped.
+    Gates must still decrypt correctly and the extra phase noise must be
+    tracked in cv."""
+    rng = nf.DeterministicRNG(77)
+    secret, cloud = nf.make_key_pair(rng, lwe_size=LWE_SIZE)
+    a = np.random.RandomState(20).randint(0, 2, 32).astype(bool)
+    b = np.random.RandomState(21).randint(0, 2, 32).astype(bool)
+    ca = nf.encrypt(rng, secret, a)
+    cb = nf.encrypt(rng, secret, b)
+    base_vm = nf.VirtualMachine(cloud)
+    r0 = base_vm.gate_nand(ca, cb)
+    for bits in (1, 2):
+        vm = nf.VirtualMachine(
+            cloud, perf_params=nf.PerformanceParameters(
+                cloud.params, coarse_phase_bits=bits))
+        r = vm.gate_nand(ca, cb)
+        assert np.array_equal(nf.decrypt(secret, r), ~(a & b)), bits
+        cv = float(np.asarray(r.current_variances).ravel()[0])
+        cv0 = float(np.asarray(r0.current_variances).ravel()[0])
+        assert cv > cv0, (bits, cv, cv0)  # the phase-noise term is tracked
+
+
 def test_gate_noise_within_tracked_variance(transform_type):
     """Statistical noise test (round-3 verdict item 5): measured gate
     output noise stays within the tracked ``current_variances`` bound

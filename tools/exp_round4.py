@@ -595,7 +595,7 @@ def tricks(batch, lane_tile, n_steps=100):
 
     # --- harness --------------------------------------------------------
 
-    def make(step_body):
+    def make_with_bara(step_body, bara_arr):
         def kernel(p_ref, acc_ref, rhs_ref, out_ref):
             out_ref[:, :] = step_body(
                 acc_ref[:, :], p_ref[:, :], rhs_ref[:, :, :])
@@ -626,7 +626,10 @@ def tricks(batch, lane_tile, n_steps=100):
                 return step(a_, p, r)
             return jax.lax.fori_loop(0, n_steps, body, a)
 
-        return lambda a: rot(a, bk, bara_t)
+        return lambda a: rot(a, bk, bara_arr)
+
+    def make(step_body):
+        return make_with_bara(step_body, bara_t)
 
     def full_step(a, p, r):
         return re_.external_step(a, p, r, mask1=mask1, decomp_length=dl,
@@ -653,17 +656,396 @@ def tricks(batch, lane_tile, n_steps=100):
     t = timed_chain(f0, acc, iters=3, inner=2)
     print(f"{'baseline':28s}: {t/n_steps*1e3:8.4f} ms/step", flush=True)
 
+    # evened-powers harness for the coarse-modulus-switch variants: the
+    # exactness oracle is the BASELINE step on the same even powers
+    bara_even = (bara_t & ~jnp.int32(1)).astype(jnp.int32)
+    ref_even = None
+
+    # --- t6/t7: slab-hoisted forward head / inverse -----------------------
+    # Hypothesis: the per-stage cost exceeds the op-count estimate ~2x
+    # because the head/pass2 loops issue hundreds of SMALL (64-row-slice)
+    # ops with per-instruction overhead.  All j-uniform adds/rotations
+    # hoist into whole-slab ops (identical arithmetic per element, no
+    # reassociation -> bit-identical); only the j-dependent twiddle
+    # rotations stay per-slice.
+
+    def _slab(x):
+        return x.reshape(-1, x.shape[-1])
+
+    def fwd_hoisted(dig_pk, n_pk):
+        stride = n_pk * re_.R
+        b = dig_pk.shape[-1]
+        A = dig_pk.reshape(re_.M, stride, b)
+        BP = _BP
+        a = _slab(A[0:8])          # (8*stride, b) slabs
+        bb = _slab(A[8:16])
+        c = _slab(A[16:24])
+        d = _slab(A[24:32])
+        c16 = rot_pk_raw(c, 16, 2 * BP)
+        d16 = rot_pk_raw(d, 16, 2 * BP)
+        p = a + c
+        q = bb + d
+        m_ = a - c
+        n_ = bb - d
+        r = a + c16
+        s_ = a - c16
+        t = bb + d16
+        u = bb - d16
+        n16 = rot_pk_raw(n_, 16)
+        t8 = rot_pk_raw(t, 8, 4 * BP)
+        u24 = rot_pk_raw(u, 24)
+        pre = [p + q, p - q, m_ + n16, m_ - n16,
+               r + t8, r - t8, s_ + u24, s_ - u24]       # slabs (8*stride)
+        coeffs = [0, 4, 2, 6, 1, 5, 3, 7]
+        biases = [4 * BP, 0, 0, 0, 4 * BP, 0, 0, 0]
+        gs = []
+        for k in range(8):
+            if coeffs[k] == 0:
+                gs.append(pre[k])
+                continue
+            v = pre[k].reshape(8, stride, b)
+            gs.append(jnp.concatenate(
+                [rot_pk_raw(v[j], coeffs[k] * j, 2 * biases[k])
+                 .reshape(1, stride, b) for j in range(8)],
+                axis=0).reshape(8 * stride, b))
+        x = jnp.concatenate(
+            [g.reshape(1, 8 * stride, b) for g in gs],
+            axis=0).reshape(re_.L * stride, b)
+
+        # tail (already slab-structured; copy of the engine's raw tail)
+        v = x.reshape(-1, 8, stride, b)
+        xs = [v[:, m].reshape(-1, b) for m in range(8)]
+        s = [xs[m] + xs[m + 4] for m in range(4)]
+        d2 = [rot_pk_raw(xs[m] - xs[m + 4], 8 * m) for m in range(4)]
+        ss0 = s[0] + s[2]
+        ss1 = s[1] + s[3]
+        sd0 = s[0] - s[2]
+        sd1 = rot_pk_raw(s[1] - s[3], 16)
+        ds0 = d2[0] + d2[2]
+        ds1 = d2[1] + d2[3]
+        dd0 = d2[0] - d2[2]
+        dd1 = rot_pk_raw(d2[1] - d2[3], 16)
+        outs = [ss0 + ss1, ss0 - ss1, sd0 + sd1, sd0 - sd1,
+                ds0 + ds1, ds0 - ds1, dd0 + dd1, dd0 - dd1]
+        return jnp.concatenate(
+            [o.reshape(-1, 1, stride, b) for o in outs],
+            axis=1).reshape(re_.L * stride, b)
+
+    def inv_hoisted(out, mask1_):
+        """dot_out_to_delta with (a) whole-tensor group combine and
+        (b) pass-2 adds on slabs (only j-dependent rotations per-slice)."""
+        b = out.shape[-1]
+        o_r = mask1_ * re_.R
+        q = out.shape[-2]
+        n_groups = q // o_r
+        assert n_groups == 4, "rounded-mode probe"
+        # whole-tensor combine: 6 ops
+        o4 = out.reshape(re_.L, n_groups, o_r, b)
+        A_all = (o4[:, 0] + (o4[:, 1] << 8)) + \
+            ((o4[:, 2] << 16) + (o4[:, 3] << 24))        # (L, o_r, b)
+        v0 = A_all.reshape(8, 8, o_r, b)
+        a = [v0[:, i].reshape(-1, b) for i in range(8)]  # (8*o_r, b) slabs
+        b0 = a[0] + a[1]
+        b1 = a[0] - a[1]
+        b2 = a[2] + a[3]
+        b3 = a[2] - a[3]
+        b4 = a[4] + a[5]
+        b5 = a[4] - a[5]
+        b6 = a[6] + a[7]
+        b7 = a[6] - a[7]
+        c0 = b0 + b2
+        c2 = b0 - b2
+        t = re_.rot_block(b3, -16)
+        c1 = b1 + t
+        c3 = b1 - t
+        c4 = b4 + b6
+        c6 = b4 - b6
+        t = re_.rot_block(b7, -16)
+        c5 = b5 + t
+        c7 = b5 - t
+        d0 = c0 + c4
+        d4 = c0 - c4
+        t = re_.rot_block(c5, -8)
+        d1 = c1 + t
+        d5 = c1 - t
+        t = re_.rot_block(c6, -16)
+        d2 = c2 + t
+        d6 = c2 - t
+        t = re_.rot_block(c7, -24)
+        d3 = c3 + t
+        d7 = c3 - t
+        stride = o_r
+        x = jnp.concatenate(
+            [dd.reshape(-1, 1, stride, b) for dd in
+             (d0, d1, d2, d3, d4, d5, d6, d7)],
+            axis=1).reshape(re_.L * stride, b)
+
+        # pass 2, slab-hoisted: per-slice rotations gathered into slabs,
+        # then slab adds.  w-slabs: (8grp?, j, stride) -> wz = v[z] slabs
+        v = x.reshape(8, 8 * stride, b)                  # z-major slabs
+
+        def rotj(slab, coef, extra=0):
+            # per-j rotation of an (8, stride) slab by coef*j + extra;
+            # j-uniform amounts (coef == 0) rotate the whole slab at once
+            if coef == 0:
+                return re_.rot_block(slab, extra) if extra else slab
+            vv = slab.reshape(8, stride, b)
+            return jnp.concatenate(
+                [re_.rot_block(vv[j], coef * j + extra)
+                 .reshape(1, stride, b) for j in range(8)],
+                axis=0).reshape(8 * stride, b)
+
+        w = [v[z] for z in range(8)]
+        t1 = rotj(w[1], -4)
+        e0 = w[0] + t1
+        e1 = w[0] - t1
+        t3 = rotj(w[3], -4)
+        e2 = w[2] + t3
+        e3 = w[2] - t3
+        t5 = rotj(w[5], -4)
+        e4 = w[4] + t5
+        e5 = w[4] - t5
+        t7 = rotj(w[7], -4)
+        e6 = w[6] + t7
+        e7 = w[6] - t7
+        t = rotj(e2, -2)
+        f0 = e0 + t
+        f2 = e0 - t
+        t = rotj(e3, -2, -16)
+        f1 = e1 + t
+        f3 = e1 - t
+        t = rotj(e6, -2)
+        f4 = e4 + t
+        f6 = e4 - t
+        t = rotj(e7, -2, -16)
+        f5 = e5 + t
+        f7 = e5 - t
+        t = rotj(f4, -1)
+        g0 = f0 + t
+        g4 = f0 - t
+        t = rotj(f5, -1, -8)
+        g1 = f1 + t
+        g5 = f1 - t
+        t = rotj(f6, -1, -16)
+        g2 = f2 + t
+        g6 = f2 - t
+        t = rotj(f7, -1, -24)
+        g3 = f3 + t
+        g7 = f3 - t
+        o0 = g0 + rotj(g4, 0, 1)
+        o1 = g1 + rotj(g5, 0, 1)
+        o2 = g2 + rotj(g6, 0, 1)
+        o3 = g3 + rotj(g7, 0, 1)
+        return jnp.concatenate(
+            [o.reshape(1, 8 * stride, b) for o in (o0, o1, o2, o3)],
+            axis=0).reshape(mask1_ * re_.N, b).astype(jnp.int32)
+
+    def step_t6(a, p, r):
+        rot = re_.rotate_acc(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        lhs = re_.packed_to_lhs(fwd_hoisted(packed, mask1), mask1, mac,
+                                raw=True)
+        out = re_._mac_dot_raw(lhs, r, mac)
+        return (a + re_.dot_out_to_delta(out, mask1)).astype(jnp.int32)
+
+    def step_t7(a, p, r):
+        rot = re_.rotate_acc(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        lhs = re_.packed_to_lhs(
+            re_.dif_forward_packed2(packed, mask1), mask1, mac, raw=True)
+        out = re_._mac_dot_raw(lhs, r, mac)
+        return (a + inv_hoisted(out, mask1)).astype(jnp.int32)
+
+    def step_t67(a, p, r):
+        rot = re_.rotate_acc(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        lhs = re_.packed_to_lhs(fwd_hoisted(packed, mask1), mask1, mac,
+                                raw=True)
+        out = re_._mac_dot_raw(lhs, r, mac)
+        return (a + inv_hoisted(out, mask1)).astype(jnp.int32)
+
+    # --- t8: coarse modulus switch (even rotation amounts) ----------------
+    # Round p to the nearest EVEN value with a zero-mean tie rule (odd p
+    # moves +-1 by bit 1 of p), then skip barrel round 0 statically.
+    # Adds ~0.0044 torus phase-noise std per gate (n=500) — safe against
+    # the 1/16 margin; measured gain is the question.
+
+    def rotate_acc_skip1(x, p, mask1_, minus_one=False):
+        stride = mask1_ * re_.R
+        out = x
+        for b in range(1, 5):                     # bit 0 statically zero
+            k = 1 << b
+            rolled = re_._roll(out, stride * k)
+            carry = re_.rot_block(rolled[:k * stride], 1)
+            fixed = jnp.concatenate([carry, rolled[k * stride:]], axis=0)
+            bit = ((p >> b) & 1) != 0
+            out = jnp.where(bit, fixed, out)
+        for b in range(5, 10):
+            k = 1 << (b - 5)
+            bit = ((p >> b) & 1) != 0
+            out = jnp.where(bit, re_.rot_block(out, k), out)
+        bit = ((p >> 10) & 1) != 0
+        out = jnp.where(bit, -out, out)
+        if minus_one:
+            out = out - x
+        return out.astype(jnp.int32)
+
+    def step_t8(a, p, r):
+        rot = rotate_acc_skip1(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        lhs = re_.packed_to_lhs(
+            re_.dif_forward_packed2(packed, mask1), mask1, mac, raw=True)
+        out = re_._mac_dot_raw(lhs, r, mac)
+        return (a + re_.dot_out_to_delta(out, mask1)).astype(jnp.int32)
+
+    # --- t9: accumulator add fused into the inverse's output emission ----
+
+    def dot_out_add_acc(out, acc, mask1_):
+        """dot_out_to_delta with `acc` added per output slice as it is
+        emitted (the separate full-array acc+delta pass disappears)."""
+        b = out.shape[-1]
+        o_r = mask1_ * re_.R
+        q = out.shape[-2]
+        n_groups = q // o_r
+        assert n_groups == 4
+        stride = o_r
+        v0 = out.reshape(8, 8, q, b)
+
+        def combine(i):
+            o_sl = v0[:, i]
+            sl = [jax.lax.slice_in_dim(o_sl, s * o_r, (s + 1) * o_r, axis=1)
+                  for s in range(n_groups)]
+            a_ch = (sl[0] + (sl[1] << 8)) + ((sl[2] << 16) + (sl[3] << 24))
+            return a_ch.reshape(8 * stride, b)
+
+        a_ = [combine(i) for i in range(8)]
+        b0 = a_[0] + a_[1]
+        b1 = a_[0] - a_[1]
+        b2 = a_[2] + a_[3]
+        b3 = a_[2] - a_[3]
+        b4 = a_[4] + a_[5]
+        b5 = a_[4] - a_[5]
+        b6 = a_[6] + a_[7]
+        b7 = a_[6] - a_[7]
+        c0 = b0 + b2
+        c2 = b0 - b2
+        t = re_.rot_block(b3, -16)
+        c1 = b1 + t
+        c3 = b1 - t
+        c4 = b4 + b6
+        c6 = b4 - b6
+        t = re_.rot_block(b7, -16)
+        c5 = b5 + t
+        c7 = b5 - t
+        d0 = c0 + c4
+        d4 = c0 - c4
+        t = re_.rot_block(c5, -8)
+        d1 = c1 + t
+        d5 = c1 - t
+        t = re_.rot_block(c6, -16)
+        d2 = c2 + t
+        d6 = c2 - t
+        t = re_.rot_block(c7, -24)
+        d3 = c3 + t
+        d7 = c3 - t
+        x = jnp.concatenate(
+            [dd.reshape(-1, 1, stride, b) for dd in
+             (d0, d1, d2, d3, d4, d5, d6, d7)],
+            axis=1).reshape(re_.L * stride, b)
+
+        acc_v = acc.reshape(re_.M, stride, b)
+        v = x.reshape(8, 8, stride, b)
+        outs = [[None] * 8 for _ in range(4)]
+        for j in range(8):
+            w = [v[z, j] for z in range(8)]
+            t = re_.rot_block(w[1], -4 * j)
+            e0 = w[0] + t
+            e1 = w[0] - t
+            t = re_.rot_block(w[3], -4 * j)
+            e2 = w[2] + t
+            e3 = w[2] - t
+            t = re_.rot_block(w[5], -4 * j)
+            e4 = w[4] + t
+            e5 = w[4] - t
+            t = re_.rot_block(w[7], -4 * j)
+            e6 = w[6] + t
+            e7 = w[6] - t
+            t = re_.rot_block(e2, -2 * j)
+            f0 = e0 + t
+            f2 = e0 - t
+            t = re_.rot_block(e3, -2 * (j + 8))
+            f1 = e1 + t
+            f3 = e1 - t
+            t = re_.rot_block(e6, -2 * j)
+            f4 = e4 + t
+            f6 = e4 - t
+            t = re_.rot_block(e7, -2 * (j + 8))
+            f5 = e5 + t
+            f7 = e5 - t
+            t = re_.rot_block(f4, -j)
+            g0 = f0 + t
+            g4 = f0 - t
+            t = re_.rot_block(f5, -(j + 8))
+            g1 = f1 + t
+            g5 = f1 - t
+            t = re_.rot_block(f6, -(j + 16))
+            g2 = f2 + t
+            g6 = f2 - t
+            t = re_.rot_block(f7, -(j + 24))
+            g3 = f3 + t
+            g7 = f3 - t
+            for zi, (ga, gb) in enumerate(((g0, g4), (g1, g5),
+                                           (g2, g6), (g3, g7))):
+                c = ga + re_.rot_block(gb, 1)
+                outs[zi][j] = (c + acc_v[zi * 8 + j]).astype(jnp.int32)
+        return jnp.concatenate(
+            [o.reshape(1, stride, b) for grp in outs for o in grp],
+            axis=0).reshape(mask1_ * re_.N, b)
+
+    def step_t9(a, p, r):
+        rot = re_.rotate_acc(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        lhs = re_.packed_to_lhs(
+            re_.dif_forward_packed2(packed, mask1), mask1, mac, raw=True)
+        out = re_._mac_dot_raw(lhs, r, mac)
+        return dot_out_add_acc(out, a, mask1)
+
+    def step_t89(a, p, r):
+        rot = rotate_acc_skip1(a, p, mask1, minus_one=True)
+        packed = re_.decomp_pack2(rot, mask1, l2b, off)
+        lhs = re_.packed_to_lhs(
+            re_.dif_forward_packed2(packed, mask1), mask1, mac, raw=True)
+        out = re_._mac_dot_raw(lhs, r, mac)
+        return dot_out_add_acc(out, a, mask1)
+
     # NOTE: t1-t4 were measured against the round-3 engine; t4 (bias-
     # deferred forward) has since been INTEGRATED into rows_engine, so
-    # "baseline" here is the post-t4 engine.
+    # "baseline" here is the post-t4 engine.  t8 is measured on EVENED
+    # powers (the baseline with the same powers is the exactness oracle).
     variants = [
+        ("t9 fused acc add", None, step_t9),
+        ("t8+t9 (even powers)", "even", step_t89),
+        ("t8 even-p skip round 0", "even", step_t8),
+        ("t6 slab-hoisted forward", None, step_t6),
+        ("t7 slab-hoisted inverse", None, step_t7),
         ("t5 deferred j-carry rot", None, external_step_t5),
     ]
     for name, repl, body in variants:
-        with patched(**(repl or {})):
+        even = repl == "even"
+        with patched(**({} if (even or repl is None) else repl)):
             f = make(body or full_step)
-            out = np.asarray(f(acc))
-            same = bool(np.array_equal(out, ref_out))
+            if even:
+                import functools
+                rot0 = f  # the make() closure uses bara_t; rebuild on even
+                f = make_with_bara(body or full_step, bara_even)
+                if ref_even is None:
+                    f_refe = make_with_bara(full_step, bara_even)
+                    ref_even = np.asarray(f_refe(acc))
+                out = np.asarray(f(acc))
+                same = bool(np.array_equal(out, ref_even))
+            else:
+                out = np.asarray(f(acc))
+                same = bool(np.array_equal(out, ref_out))
             t = timed_chain(f, acc, iters=3, inner=2)
         print(f"{name:28s}: {t/n_steps*1e3:8.4f} ms/step  exact={same}",
               flush=True)
