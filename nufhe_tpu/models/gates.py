@@ -141,7 +141,7 @@ def _run_with_vmem_fallback(run, perf_params, batch):
         first = perf_params.batch_tile
     elif key in _WORKING_TILE:
         first = _WORKING_TILE[key]
-    tiles = [first] + [t for t in (512, 256, 128)
+    tiles = [first] + [t for t in (1024, 512, 256, 128)
                        if first is None or t < first]
     last_exc = None
     for tile in tiles:
@@ -277,10 +277,11 @@ def gate_constant(cloud_key, result, vals, perf_params=None):
 
 @partial(jax.jit, static_argnames=('mu', 'tgsw_params', 'ks_meta',
                                    'use_pallas', 'lane_tile',
-                                   'vmem_limit_mb', 'chunk_steps'))
+                                   'vmem_limit_mb', 'chunk_steps',
+                                   'coarse_phase_bits'))
 def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
                 ks_meta, use_pallas=None, lane_tile=None,
-                vmem_limit_mb=None, chunk_steps=1):
+                vmem_limit_mb=None, chunk_steps=1, coarse_phase_bits=0):
     and_const = jnp.int32(phase_to_t32(-1, 8))
     mux_const = jnp.int32(phase_to_t32(1, 8))
 
@@ -289,7 +290,8 @@ def _mux_kernel(a_in, b_in, c_in, bk_dev, ks_arrays, *, mu, tgsw_params,
     ca, cb, ccv = c_in
 
     perf = dict(use_pallas=use_pallas, lane_tile=lane_tile,
-                vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps)
+                vmem_limit_mb=vmem_limit_mb, chunk_steps=chunk_steps,
+                coarse_phase_bits=coarse_phase_bits)
     # The two keyswitch-free bootstraps — u1 = BS((0,-1/8) + a + b) and
     # u2 = BS((0,-1/8) - a + c) — are batch-concatenated into ONE blind
     # rotation over 2B lanes, so MUX keeps the per-lane pipeline efficiency

@@ -29,19 +29,29 @@ def t32_to_phase(phase, mspace_size: int):
 
 
 # measured peak scoped-VMEM of the fused step kernel per batch lane
-# (v5e, mask_size=1 i.e. mask1=2: ~75 MB at 1024 lanes).  Every per-lane
-# intermediate of the step scales linearly with mask1, so the estimate is
-# scaled accordingly for other mask sizes.
-_VMEM_KB_PER_LANE_MASK1_2 = 75.0
+# (v5e, mask_size=1 i.e. mask1=2).  The exact (dual-channel) engine needs
+# ~75 KB/lane at lane tile 1024 and OOMs at 2048 (129.1 MB incl. 65 MB of
+# register spill slots — spills grow superlinearly with the tile); the
+# rounded-key engine fits 2048 lanes in 120 MB and runs FASTER there
+# (1.195 vs 1.269 ms/step chunked at batch 2^14).  Every per-lane
+# intermediate scales linearly with mask1, so the estimates are scaled
+# for other mask sizes.
+_VMEM_KB_PER_LANE_MASK1_2 = 75.0           # exact engine
+_VMEM_KB_PER_LANE_MASK1_2_ROUNDED = 58.0   # rounded-key ('FFT') engine
 
 
-def lane_tile_for(batch: int, vmem_limit_mb: int, mask1: int = 2):
+def lane_tile_for(batch: int, vmem_limit_mb: int, mask1: int = 2,
+                  exact: bool = True):
     """Largest 128-multiple lane tile whose step-kernel working set fits
     the scoped-VMEM budget (device-resolved; see performance.py), or None
     when not even the 128-lane minimum fits (the caller then falls back
-    to the XLA-composed path)."""
-    kb_per_lane = _VMEM_KB_PER_LANE_MASK1_2 * (mask1 / 2.0)
-    for tile in (1024, 512, 256, 128):
+    to the XLA-composed path).  The rounded-key engine (``exact=False``)
+    has a smaller working set and admits the faster 2048-lane tile."""
+    per_lane = (_VMEM_KB_PER_LANE_MASK1_2 if exact
+                else _VMEM_KB_PER_LANE_MASK1_2_ROUNDED)
+    kb_per_lane = per_lane * (mask1 / 2.0)
+    tiles = (1024, 512, 256, 128) if exact else (2048, 1024, 512, 256, 128)
+    for tile in tiles:
         if tile <= max(batch, 128) and \
                 tile * kb_per_lane / 1024.0 <= vmem_limit_mb:
             return tile
@@ -129,9 +139,12 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
     if vmem_limit_mb is None:
         vmem_limit_mb = 120
     if use_pallas and lane_tile is None:
+        # engine mode read off the expanded key's Q axis (4 groups per
+        # output poly = rounded-key 'FFT' mode, 5 = exact)
+        exact_mode = bk_dev.shape[-1] // (mask1 * 32) != 4
         lane_tile = lane_tile_for(
             int(np.prod(lead)) if lead else accum_a.shape[0], vmem_limit_mb,
-            mask1=mask1)
+            mask1=mask1, exact=exact_mode)
         if lane_tile is None:
             # not even a 128-lane tile fits this device's VMEM: run the
             # XLA-composed path instead of handing Mosaic an impossible

@@ -67,12 +67,14 @@ class PerformanceParameters:
         :param chunk_steps: CMUX steps fused into one multi-step Pallas
             launch (VMEM-revisited accumulator; key rows stream under
             prefetch double-buffering).  ``None`` = resolve from the
-            ``NUFHE_TPU_CHUNK_STEPS`` env var, defaulting to 25 on TPU:
+            ``NUFHE_TPU_CHUNK_STEPS`` env var, defaulting to 50 on TPU:
             with the round-4 engine the per-step accumulator HBM
             round-trip (~0.43 ms floor at batch 2^14) is no longer fully
-            hidden behind compute, and chunk=25 measures 2.4% faster than
-            per-step launches (1.269 vs 1.300 ms/step; round 3 had them
-            speed-equal).  Set 1 to minimize cold Mosaic compile time.
+            hidden behind compute, so the VMEM-revisited chunked kernel
+            wins where round 3 had it speed-equal (rounded engine at
+            lane tile 2048: 1.195 chunk=50 vs 1.242 per-step ms/step;
+            at 1024: 1.269 vs 1.300).  Set 1 to minimize cold Mosaic
+            compile time.
         """
         self.nufhe_params = nufhe_params
         self.single_kernel_bootstrap = single_kernel_bootstrap
@@ -117,7 +119,7 @@ class PerformanceParametersForDevice:
         chunk = perf_params.chunk_steps
         if chunk is None:
             chunk = int(os.environ.get(
-                "NUFHE_TPU_CHUNK_STEPS", "25" if on_tpu else "1"))
+                "NUFHE_TPU_CHUNK_STEPS", "50" if on_tpu else "1"))
         self.chunk_steps = max(1, int(chunk))
         coarse = perf_params.coarse_phase_bits
         if coarse is None:

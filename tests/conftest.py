@@ -24,6 +24,17 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """XLA:CPU can segfault in backend_compile_and_load once the
+    in-process executable cache has accumulated many large programs
+    (observed under --heavy and, since the round-4 transform_type
+    parametrization doubled the gate programs, in the default suite too).
+    Start every module with a clean cache; compiles are cheap on CPU."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(42)

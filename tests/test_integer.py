@@ -7,12 +7,13 @@ import jax
 import nufhe_tpu as nf
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def _fresh_caches():
     # Same XLA:CPU defect as tests/test_parallel.py: with a large
-    # accumulated in-process compilation cache (e.g. after the --heavy
-    # full-parameter gate programs), a later CPU compile can segfault in
-    # backend_compile_and_load.  Start this module clean.
+    # accumulated in-process compilation cache, a later CPU compile can
+    # segfault in backend_compile_and_load.  The integer circuits compile
+    # many distinct shapes (more since parallel=None auto-select routes
+    # small batches through the Kogge-Stone forms), so clear per TEST.
     jax.clear_caches()
     yield
 from nufhe_tpu.models.integer import (
@@ -43,7 +44,7 @@ def test_uint_min(transform_type):
     cb = nf.encrypt(rng, secret, b_bits)
     answer = nf.empty_ciphertext(cloud.params, a_bits.shape)
 
-    uint_min(cloud, answer, ca, cb)
+    uint_min(cloud, answer, ca, cb, parallel=False)
 
     got = bitarray_to_uintarray(nf.decrypt(secret, answer))
     assert np.array_equal(got, np.minimum(a_vals, b_vals))
@@ -64,17 +65,17 @@ def test_uint_add_and_compare():
     from nufhe_tpu.models.integer import uint_add, uint_gt, uint_lt
 
     answer = nf.empty_ciphertext(cloud.params, a_bits.shape)
-    uint_add(cloud, answer, ca, cb)
+    uint_add(cloud, answer, ca, cb, parallel=False)
     got = bitarray_to_uintarray(nf.decrypt(secret, answer))
     assert np.array_equal(got, (a_vals + b_vals))  # uint8 wraps mod 256
 
     gt = nf.empty_ciphertext(cloud.params, (2, 1))
-    uint_gt(cloud, gt, ca, cb)
+    uint_gt(cloud, gt, ca, cb, parallel=False)
     assert np.array_equal(
         nf.decrypt(secret, gt)[:, 0], a_vals > b_vals)
 
     lt = nf.empty_ciphertext(cloud.params, (2, 1))
-    uint_lt(cloud, lt, ca, cb)
+    uint_lt(cloud, lt, ca, cb, parallel=False)
     assert np.array_equal(
         nf.decrypt(secret, lt)[:, 0], a_vals < b_vals)
 
@@ -92,11 +93,11 @@ def test_uint_max_sub_eq():
     cb = nf.encrypt(rng, secret, b_bits)
 
     ans = nf.empty_ciphertext(cloud.params, a_bits.shape)
-    uint_max(cloud, ans, ca, cb)
+    uint_max(cloud, ans, ca, cb, parallel=False)
     got = bitarray_to_uintarray(nf.decrypt(secret, ans))
     assert np.array_equal(got, np.maximum(a_vals, b_vals) % 16)
 
-    uint_sub(cloud, ans, ca, cb)
+    uint_sub(cloud, ans, ca, cb, parallel=False)
     got = bitarray_to_uintarray(nf.decrypt(secret, ans))
     assert np.array_equal(got, (a_vals - b_vals) % 16)
 
@@ -119,7 +120,7 @@ def test_uint_mul():
     cb = nf.encrypt(rng, secret, b_bits)
 
     ans = nf.empty_ciphertext(cloud.params, a_bits.shape)
-    uint_mul(cloud, ans, ca, cb)
+    uint_mul(cloud, ans, ca, cb, parallel=False)
     got = bitarray_to_uintarray(nf.decrypt(secret, ans))
     assert np.array_equal(got, (a_vals * b_vals) % 16)
 

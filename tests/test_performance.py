@@ -2,6 +2,8 @@
 (reference analogue: ``nufhe/performance.py:137-230`` and the
 ``OutOfResourcesError`` loops in ``blind_rotate.py:143-187``)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -11,12 +13,28 @@ from nufhe_tpu.models import gates as g
 
 
 def test_lane_tile_tracks_vmem_budget():
-    # 128 MB-class cores run 1024-lane tiles; 16 MB-class cores drop to 128
+    # 128 MB-class cores run 1024-lane tiles (exact engine; the leaner
+    # rounded-key engine fits 2048); 16 MB-class cores drop to 128
     assert lane_tile_for(16384, 120) == 1024
+    assert lane_tile_for(16384, 120, exact=False) == 2048
     assert lane_tile_for(16384, 40) == 512
     assert lane_tile_for(16384, 16) == 128
     assert lane_tile_for(256, 120) == 256     # tile never exceeds the batch
     assert lane_tile_for(64, 120) == 128      # floor
+
+
+def test_vmem_oom_matcher_against_real_mosaic_message():
+    """The shrink-retry trigger is pinned against a REAL captured
+    XLA:TPU/Mosaic out-of-VMEM message (tools/capture_oom.py on v5e:
+    the exact engine at lane tile 2048), not a fabricated string — a
+    toolchain message change must fail THIS test, not silently convert
+    OOM-retry into a hard failure."""
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "mosaic_oom_message.txt")
+    text = open(path).read()
+    assert "Ran out of memory in memory space vmem" in text  # provenance
+    assert g._looks_like_vmem_oom(RuntimeError(text))
+    assert not g._looks_like_vmem_oom(RuntimeError("unrelated failure"))
 
 
 def test_perf_params_resolve_vmem(monkeypatch):
@@ -45,7 +63,7 @@ def test_vmem_fallback_shrinks_and_remembers():
         return "ok-%s" % tile
 
     assert g._run_with_vmem_fallback(run, None, 4096) == "ok-256"
-    assert attempts == [None, 512, 256]
+    assert attempts == [None, 1024, 512, 256]
     # the working tile is remembered: next call goes straight there
     attempts.clear()
     assert g._run_with_vmem_fallback(run, None, 4096) == "ok-256"

@@ -1035,8 +1035,6 @@ def tricks(batch, lane_tile, n_steps=100):
         with patched(**({} if (even or repl is None) else repl)):
             f = make(body or full_step)
             if even:
-                import functools
-                rot0 = f  # the make() closure uses bara_t; rebuild on even
                 f = make_with_bara(body or full_step, bara_even)
                 if ref_even is None:
                     f_refe = make_with_bara(full_step, bara_even)
