@@ -17,19 +17,21 @@ from .gates import (
     gate_not, gate_copy, gate_mux)
 
 # Ripple vs Kogge-Stone auto-selection (``parallel=None``), calibrated on
-# v5e (ADDER_CROSSOVER_r04.json + MICROBENCH_r3b.log): the chip saturates
-# at ~2^13 bootstrapped bits per gate call; below saturation per-call
-# latency is flat, so the Kogge-Stone form (2 + 2*ceil(log2 w) dependent
-# calls of ~batch*width lanes) beats the ripple form (3w dependent calls
-# of ~batch lanes) exactly when its wide calls still fit under saturation.
-_SATURATION_LANES = 8192
+# v5e (ADDER_CROSSOVER_r04.json): gate-call latency scales ~linearly with
+# lane count down to a single 128-lane tile (the per-step VPU work is
+# proportional to lanes), so the Kogge-Stone form's ~3x bootstrapped bits
+# beat its 3w -> 2+2*log2(w) call-count saving at EVERY measured grid
+# point (ripple wins 664 vs 705 ms even at batch 128 x w=8; 2.2x at
+# batch 4096).  Only when the scan's folded batch*width calls fit inside
+# the flat single-tile floor (~128 lanes) can the call count win.
+_FLAT_LANES = 128
 
 
 def _auto_parallel(batch_lanes, width):
-    """True (Kogge-Stone) when the folded batch*width gate calls stay
-    under chip saturation — the measured crossover; False (ripple,
-    fewest total bootstraps) above it."""
-    return batch_lanes * width * 2 <= _SATURATION_LANES
+    """True (Kogge-Stone) only when the folded batch*width gate calls fit
+    the flat single-tile latency floor; False (ripple, fewest total
+    bootstraps) everywhere else — the measured v5e crossover."""
+    return batch_lanes * width * 2 <= _FLAT_LANES
 
 
 def _resolve_parallel(parallel, x):
@@ -247,10 +249,12 @@ def uint_add(cloud_key, answer, a, b, parallel=None, perf_params=None):
     ``parallel=True``: Kogge-Stone carry-lookahead — O(log2 w) dependent
     batched gate calls (each folding all bit positions into the lane
     axis), ~3x the bootstrapped bits.  Measured on v5e
-    (ADDER_CROSSOVER_r04.json): it wins only while its folded batch*width
-    calls stay under chip saturation (~2^13 lanes); above that the ripple
-    form's lower total bootstrap count wins (2x at batch 2048 x w=8).
-    ``parallel=None`` (default) picks by that rule (``_auto_parallel``).
+    (ADDER_CROSSOVER_r04.json): per-call latency scales ~linearly with
+    lanes down to one 128-lane tile, so ripple wins at every grid point
+    from batch 128 up (2.2x at batch 4096 x w=8); the scan form only
+    pays off for near-single-integer latency (batch*width under the
+    ~128-lane floor).  ``parallel=None`` (default) picks by that rule
+    (``_auto_parallel``).
     """
     if _resolve_parallel(parallel, a):
         return _uint_add_parallel(cloud_key, answer, a, b,

@@ -80,6 +80,7 @@ def _digit_planes(x, planes=4, with_rem=False):
     return digs
 
 
+@jax.jit
 def binary_negacyclic_mul_device(w_dev, x):
     """sum_k key_k * x_k (negacyclic, exact mod 2^32) on the MXU.
 
@@ -137,16 +138,31 @@ def tgsw_add_message_device(a, messages, base_powers):
     return a.astype(jnp.int32)
 
 
+# module-level jit: the whole BK sample build is ONE device dispatch
+# (eager op-by-op execution costs a tunnel round-trip per op on this rig)
+@jax.jit
+def _bootstrap_key_device_jit(w_dev, lwe_key_dev, noises1, noises2, bp):
+    a = tlwe_encrypt_zero_device(w_dev, noises1, noises2)
+    mask1 = a.shape[1]
+    inc = (jnp.asarray(lwe_key_dev, jnp.int32)[:, None] * bp)
+    for o in range(mask1):
+        a = a.at[:, o, :, o, 0].add(inc)
+    return a.astype(jnp.int32)
+
+
 def bootstrap_key_device(w_dev, lwe_key_dev, noises1, noises2, base_powers):
     """Full bootstrap-key sample build on device:
-    TGSW encrypt-zero (batched) + add-message.
+    TGSW encrypt-zero (batched) + add-message, one jitted dispatch.
 
     :param noises1: (n, mask1, l, mask_size, N) int32.
     :param noises2: (n, mask1, l, N) int32.
     :returns: (n, mask1, l, mask1, N) int32 coefficient-domain TGSW rows.
     """
-    a = tlwe_encrypt_zero_device(w_dev, noises1, noises2)
-    return tgsw_add_message_device(a, lwe_key_dev, base_powers)
+    bp = jnp.asarray(
+        np.asarray(base_powers, np.int64).astype(np.uint32).view(np.int32))
+    return _bootstrap_key_device_jit(
+        w_dev, jnp.asarray(lwe_key_dev), jnp.asarray(noises1),
+        jnp.asarray(noises2), bp)
 
 
 # --- keyswitch key -----------------------------------------------------------
@@ -168,6 +184,15 @@ def make_keyswitch_key_device(in_key, out_key, noises_a, noises_b,
     :returns: (ks_a, ks_b) int32 device arrays of shapes
         (input_size, l, base, output_size) and (input_size, l, base).
     """
+    return _make_ks_device_jit(
+        jnp.asarray(in_key, jnp.int32), jnp.asarray(out_key, jnp.int32),
+        jnp.asarray(noises_a, jnp.int32), jnp.asarray(noises_b, jnp.int32),
+        decomp_length, log2_base)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _make_ks_device_jit(in_key, out_key, noises_a, noises_b,
+                        decomp_length, log2_base):
     in_key = jnp.asarray(in_key, jnp.int32)
     out_key = jnp.asarray(out_key, jnp.int32)
     noises_a = jnp.asarray(noises_a, jnp.int32)
@@ -206,9 +231,12 @@ def _vhi_limbs(vhi):
 @partial(jax.jit, static_argnums=1)
 def _split_planes(chunk_flat, exact):
     """(B, N) i32 polynomials -> one-sided A/B limb split of their exact
-    forward transforms mod 2^38 (see ``bootstrap_key_limbs_device``)."""
+    forward transforms mod 2^38 (see ``bootstrap_key_limbs_device``).
+    The five digit planes ride ONE batched forward call (plane-major
+    stacking) so the whole chunk is a single fused device program."""
     planes = _digit_planes(chunk_flat, with_rem=True)   # 5 x (B, N)
-    fs = [dt.forward_i32(p) for p in planes]            # 5 x (B, L, R)
+    stacked = jnp.stack(planes, axis=0)                 # (5, B, N)
+    fs = dt.forward_i32(stacked)                        # (5, B, L, R)
     f0 = fs[0]
     tail = ((fs[1] << 2) + (fs[2] << 10)
             + (fs[3] << 18) + (fs[4] << 26)).astype(jnp.int32)
@@ -223,7 +251,7 @@ def _split_planes(chunk_flat, exact):
     return _vhi_limbs(q), delta
 
 
-def bootstrap_key_limbs_device(bk_coeff, exact=True, chunk=256):
+def bootstrap_key_limbs_device(bk_coeff, exact=True, chunk=2048):
     """Device twin of the host transform+split
     (``tgsw.bootstrap_key_limbs_host`` -> ``one_sided_limbs_host``): the
     exact forward Nussbaumer transform mod 2^38 of every bootstrap-key

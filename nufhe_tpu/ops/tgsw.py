@@ -50,7 +50,7 @@ def bootstrap_key_limbs_host(bk_coeff, exact=True):
 _build_mac_rhs = jax.jit(dt.build_mac_rhs)
 
 
-def expand_bootstrap_key_device(limbs, chunk: int = 50):
+def expand_bootstrap_key_device(limbs, chunk: int = 125):
     """Compact transformed limbs -> the HBM-resident MAC operand.
 
     :param limbs: (n, G, O, L, R, KEY_LIMBS[_APPROX], 2) int8 (host or
@@ -72,7 +72,7 @@ def expand_bootstrap_key_device(limbs, chunk: int = 50):
 _two_sided_limbs = jax.jit(dt.two_sided_limbs_device)
 
 
-def expand_bootstrap_key_device_compact(pos, delta=None, chunk: int = 50):
+def expand_bootstrap_key_device_compact(pos, delta=None, chunk: int = 125):
     """One-sided compact upload path: the H2D transfer moves HALF the
     bytes of the two-sided form; the -v side is derived on device in
     int32 (``transform.two_sided_limbs_device``), then expanded as usual.
