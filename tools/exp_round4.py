@@ -1018,11 +1018,70 @@ def tricks(batch, lane_tile, n_steps=100):
         out = re_._mac_dot_raw(lhs, r, mac)
         return dot_out_add_acc(out, a, mask1)
 
+    # --- t10: static rotations as slice-concat instead of roll+select ----
+    # For STATIC twiddle amounts the negacyclic rotation within blk-row
+    # blocks is exactly [-tail_e | head_(blk-e)] per block: one partial
+    # negate (~e/blk of a pass) + one concat copy, vs the roll+neg+select
+    # (~2 full passes + shuffles) of rot_block.  Data-dependent rotations
+    # (rotate_acc) keep the select form.
+
+    def rot_block_sc(x, e, blk=re_.R):
+        e = e % (2 * blk)
+        neg = e >= blk
+        if neg:
+            e -= blk
+        if e == 0:
+            return -x if neg else x
+        b = x.shape[-1]
+        v = x.reshape(-1, blk, b)
+        tail = v[:, blk - e:]
+        head = v[:, :blk - e]
+        if neg:
+            out = jnp.concatenate([tail, -head], axis=1)
+        else:
+            out = jnp.concatenate([-tail, head], axis=1)
+        return out.reshape(x.shape)
+
+    def rot_pk_sc(w, e, bias2=0, blk=re_.R):
+        e = e % (2 * blk)
+        neg = e >= blk
+        if neg:
+            e -= blk
+        K = jnp.int32(_wrap32i(bias2))
+
+        def negate(x):
+            return (K - x) if bias2 else -x
+        if e == 0:
+            return negate(w) if neg else w
+        b = w.shape[-1]
+        v = w.reshape(-1, blk, b)
+        tail = v[:, blk - e:]
+        head = v[:, :blk - e]
+        if neg:
+            out = jnp.concatenate([tail, negate(head)], axis=1)
+        else:
+            out = jnp.concatenate([negate(tail), head], axis=1)
+        return out.reshape(w.shape)
+
+    def step_t10(a, p, r):
+        # static-concat rotations in the forward + inverse; data-dependent
+        # barrel unchanged
+        with patched(rot_block=rot_block_sc, _pk_rot_raw=rot_pk_sc):
+            rot = rotate_acc_orig(a, p, mask1, minus_one=True)
+            packed = re_.decomp_pack2(rot, mask1, l2b, off)
+            lhs = re_.packed_to_lhs(
+                re_.dif_forward_packed2(packed, mask1), mask1, mac, raw=True)
+            out = re_._mac_dot_raw(lhs, r, mac)
+            return re_.dot_out_to_delta(out, mask1, acc=a)
+
+    rotate_acc_orig = re_.rotate_acc
+
     # NOTE: t1-t4 were measured against the round-3 engine; t4 (bias-
     # deferred forward) has since been INTEGRATED into rows_engine, so
     # "baseline" here is the post-t4 engine.  t8 is measured on EVENED
     # powers (the baseline with the same powers is the exactness oracle).
     variants = [
+        ("t10 static slice-concat rot", None, step_t10),
         ("t9 fused acc add", None, step_t9),
         ("t8+t9 (even powers)", "even", step_t89),
         ("t8 even-p skip round 0", "even", step_t8),
