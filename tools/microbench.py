@@ -249,46 +249,75 @@ def bench_keyswitch(batch):
           f"batch is {0.06*batch:.0f} ms)")
 
 
-def bench_rotation(batch, lane_tile, n_steps=100):
-    """Per-step launches vs chunked multi-step launches, full rotation."""
+def bench_rotation(batch, lane_tile, n_steps=None):
+    """Per-step launches vs chunked multi-step launches, full rotation.
+
+    Env knobs (each distinct config is a fresh Mosaic compile — keep the
+    list short on the tunneled rig):
+      NUFHE_MB_STEPS=N        rotation length (default 100)
+      NUFHE_MB_CHUNKS=a,b,c   chunk sizes to time (default 10,25,50)
+      NUFHE_MB_SKIP=b         coarse skip bits: rotation amounts are
+                              pre-rounded to multiples of 2^b and the
+                              kernels statically skip the low b barrel
+                              rounds (PerformanceParameters
+                              coarse_phase_bits analogue)
+      NUFHE_MB_NO_PERSTEP=1   skip the per-step variant (correctness is
+                              then checked against the first chunk config)
+    """
     from nufhe_tpu.ops import transform as dt
     from nufhe_tpu.ops.pallas import blind_rotate as pbr
+
+    if n_steps is None:
+        n_steps = int(os.environ.get("NUFHE_MB_STEPS", "100"))
+    chunks = tuple(int(c) for c in
+                   os.environ.get("NUFHE_MB_CHUNKS", "10,25,50").split(","))
+    skip = int(os.environ.get("NUFHE_MB_SKIP", "0"))
+    no_per_step = bool(os.environ.get("NUFHE_MB_NO_PERSTEP"))
 
     tp, re_, acc, powers, row = _setup(batch)
     rs = np.random.RandomState(1)
     bk = jnp.asarray(np.broadcast_to(
         np.asarray(row)[None], (n_steps,) + row.shape).copy())
-    bara_t = jnp.asarray(
-        rs.randint(0, 2048, (n_steps, batch)).astype(np.int32))
+    bara_np = rs.randint(0, 2048, (n_steps, batch)).astype(np.int32)
+    if skip:
+        bara_np &= ~((1 << skip) - 1)   # kernel precondition for skip bits
+    bara_t = jnp.asarray(bara_np)
     args = (2, tp.decomp_length, tp.bs_log2_base, int(tp.offset))
 
-    step = pbr.make_external_step_rows(
-        *args, lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
-
-    # bk/bara ride as ARGUMENTS (closed-over arrays would be embedded as
-    # HLO constants — a 0.5 GB program body the remote compiler rejects)
-    @jax.jit
-    def per_step(a, bk_, bara_):
-        def body(i, a_):
-            p = jax.lax.dynamic_index_in_dim(bara_, i, 0, keepdims=True)
-            r = jax.lax.dynamic_index_in_dim(bk_, i, 0, keepdims=False)
-            return step(a_, p, r)
-        return jax.lax.fori_loop(0, n_steps, body, a)
-
     results = {}
-    print(f"engine: {'exact' if _exact() else 'rounded-key'}")
-    f = lambda a: per_step(a, bk, bara_t)  # noqa: E731
-    t = timed_chain(f, acc, iters=3, inner=2)
-    results['per-step'] = t
-    print(f"per-step   x{n_steps}: {t*1e3:9.2f} ms "
-          f"({t/n_steps*1e6:7.1f} us/step)")
+    print(f"engine: {'exact' if _exact() else 'rounded-key'} "
+          f"steps={n_steps} skip_low_bits={skip}", flush=True)
+    oracle = None
+    if not no_per_step:
+        step = pbr.make_external_step_rows(
+            *args, lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
+            skip_low_bits=skip)
+
+        # bk/bara ride as ARGUMENTS (closed-over arrays would be embedded
+        # as HLO constants — a 0.5 GB program body the remote compiler
+        # rejects)
+        @jax.jit
+        def per_step(a, bk_, bara_):
+            def body(i, a_):
+                p = jax.lax.dynamic_index_in_dim(bara_, i, 0, keepdims=True)
+                r = jax.lax.dynamic_index_in_dim(bk_, i, 0, keepdims=False)
+                return step(a_, p, r)
+            return jax.lax.fori_loop(0, n_steps, body, a)
+
+        f = lambda a: per_step(a, bk, bara_t)  # noqa: E731
+        oracle = np.asarray(f(acc))
+        t = timed_chain(f, acc, iters=3, inner=2)
+        results['per-step'] = t
+        print(f"per-step   x{n_steps}: {t*1e3:9.2f} ms "
+              f"({t/n_steps*1e6:7.1f} us/step)", flush=True)
 
     bara3 = bara_t.reshape(n_steps, 1, batch)
-    for chunk in (10, 25, 50):
+    for chunk in chunks:
         if n_steps % chunk:
             continue
         rot = pbr.make_blind_rotate_chunk(
-            *args, chunk, lane_tile=lane_tile, mac_dtype=dt.mac_dtype())
+            *args, chunk, lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
+            skip_low_bits=skip)
 
         @jax.jit
         def chunked(a, bk_, bara_, rot=rot, chunk=chunk):
@@ -297,12 +326,16 @@ def bench_rotation(batch, lane_tile, n_steps=100):
             return jax.lax.fori_loop(0, n_steps // chunk, body, a)
 
         fc = lambda a: chunked(a, bk, bara3)  # noqa: E731
-        # correctness vs per-step
-        same = bool(np.array_equal(np.asarray(f(acc)), np.asarray(fc(acc))))
+        # correctness vs per-step (or vs the first chunk config)
+        got = np.asarray(fc(acc))
+        if oracle is None:
+            oracle, same = got, True
+        else:
+            same = bool(np.array_equal(oracle, got))
         t = timed_chain(fc, acc, iters=3, inner=2)
         results[chunk] = t
         print(f"chunk={chunk:3d} x{n_steps}: {t*1e3:9.2f} ms "
-              f"({t/n_steps*1e6:7.1f} us/step)  exact={same}")
+              f"({t/n_steps*1e6:7.1f} us/step)  exact={same}", flush=True)
     return results
 
 
