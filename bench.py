@@ -52,16 +52,19 @@ def main():
     inner = int(os.environ.get("NUFHE_BENCH_INNER", 4))
     gate = os.environ.get("NUFHE_BENCH_GATE", "nand")  # nand | mux
     # ntt = exact engine (vs the reference's NTT numbers); fft = rounded-key
-    # engine (the accuracy class of the reference's f64 FFT path, vs its
-    # FFT numbers: 0.13 ms/bit binary, 0.22 MUX)
+    # engine (the fast mode — a tracked speed/noise trade; benchmarked vs
+    # the reference's FFT numbers: 0.13 ms/bit binary, 0.22 MUX)
     transform = os.environ.get("NUFHE_BENCH_TRANSFORM", "ntt").upper()
 
     rng = nf.DeterministicRNG(42)
     t0 = time.time()
     secret, cloud = nf.make_key_pair(rng, transform_type=transform)
-    # device keygen by default on accelerators (host RNG + MXU products);
-    # the name is kept for cross-round comparability
-    keygen_host_t = time.time() - t0
+    # device keygen by default on accelerators (host RNG + MXU products).
+    # COLD number: includes jit compiles / per-process executable loading
+    # of the keygen programs through this rig's remote-compile helper;
+    # the field name is kept for cross-round comparability, the warm
+    # (compute-only) figure is keygen_warm_s below
+    keygen_cold_t = time.time() - t0
 
     # key preparation, phase-split (round-3 verdict asked the 8.99 s vs
     # 49.85 s exact/rounded gap to be attributed: it is COLD COMPILES of
@@ -78,6 +81,23 @@ def main():
     jax.block_until_ready(ks0_arrays["ab_limbs"])
     key_ks0_t = time.time() - t0
     key_prep_t = key_transform_t + key_expand0_t + key_ks0_t
+
+    # WARM keygen + key prep: a second key pair from the same program set
+    # (identical shapes -> executables already loaded), so these fields
+    # record the pure compute the closeout claims ("<2 s"); cold - warm =
+    # per-process compile/executable loading, attributed above
+    t0 = time.time()
+    secret2, cloud2 = nf.make_key_pair(
+        nf.DeterministicRNG(43), transform_type=transform)
+    keygen_warm_t = time.time() - t0
+    t0 = time.time()
+    pos2, _ = cloud2.bootstrap_key.compact()
+    jax.block_until_ready(pos2) if hasattr(pos2, 'block_until_ready') else None
+    cloud2.bootstrap_key.device()
+    ks2_arrays, _ = cloud2.keyswitch_key.device()
+    jax.block_until_ready(ks2_arrays["ab_limbs"])
+    key_prep_warm_t = time.time() - t0
+    del secret2, cloud2, pos2, ks2_arrays
 
     # serialized-key load path: a format-4 container stores the transformed
     # limb form ONE-SIDED (the -v side is derived on device), so load ->
@@ -208,8 +228,10 @@ def main():
             "compile_cache_dir": cache_dir,
             "compile_cache_entries": cache_entries,
             "compile_cache_bytes": cache_bytes,
-            "keygen_host_s": round(keygen_host_t, 2),
+            "keygen_host_s": round(keygen_cold_t, 2),
+            "keygen_warm_s": round(keygen_warm_t, 2),
             "key_prep_s": round(key_prep_t, 2),
+            "key_prep_warm_s": round(key_prep_warm_t, 2),
             "key_prep_phases_s": {
                 "bk_transform": round(key_transform_t, 2),
                 "bk_expand": round(key_expand0_t, 2),

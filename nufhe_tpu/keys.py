@@ -184,8 +184,8 @@ class BootstrapKey:
         """Compact transformed two-sided limb form (the serialized form).
 
         ``transform_type='NTT'`` params produce the exact 5-limb A/B split;
-        ``'FFT'`` params the rounded-key 4-limb split (the accuracy class
-        of the reference's f64 FFT path — see ``transform.key_limbs_host``).
+        ``'FFT'`` params the rounded-key 4-limb split (a tracked
+        speed/noise trade — see ``transform.key_limbs_host``).
         A container holding the other format still loads and runs (the
         limb count selects the engine mode), it just keeps the accuracy
         it was written with.

@@ -85,9 +85,9 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
     On TPU (and without tensor parallelism) each CMUX step runs as one
     fused Pallas kernel in the rows layout (``ops/rows_engine`` +
     ``ops/pallas/blind_rotate``): polynomial dims on rows, batch on lanes,
-    everything VMEM-resident per step.  Elsewhere the same math runs under
-    jit in the lanes layout (``ops/flat_engine``), or in the rows layout
-    for slot-sharded tensor parallelism.
+    everything VMEM-resident per step.  Tensor parallelism (limb- or
+    slot-sharded) runs the same math in the rows layout under jit; the
+    lanes layout (``ops/flat_engine``) remains the non-TPU fallback.
     Reference: the fused ``nufhe/blind_rotate.mako`` persistent kernel.
 
     :param accum_a: (B, mask_size+1, N) int32.
@@ -133,6 +133,31 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                 mac_dtype=dt.mac_dtype(), slot_axis_name=slot_axis_name)
 
         acc_rows = jax.lax.fori_loop(0, n, body_s, acc_rows)
+        out = re_.acc_n_from_rows(acc_rows, mask1)
+        return out.reshape(lead + (mask1, fe.N))
+
+    if axis_name is not None:
+        # limbs-sharded tensor parallelism: rows-layout XLA path.  Each
+        # shard decomposes the full (replicated) accumulator, slices its
+        # contiguous g-block C-slice of the digits, MACs it against its
+        # key shard, and the channel outputs psum over the model axis
+        # before the (replicated) inverse — see
+        # ``rows_engine.transformed_mac``.  Routing this through the
+        # lanes-layout flat engine measured 14x slower (TP_r04).
+        acc = accum_a.reshape((-1, mask1, fe.N))
+        bara_t = jnp.transpose(bara.reshape((-1, n)))
+        acc_rows = re_.acc_rows_from_n(acc)
+
+        def body_l(i, a):
+            powers = jax.lax.dynamic_index_in_dim(
+                bara_t, i, axis=0, keepdims=True)
+            row = jax.lax.dynamic_index_in_dim(bk_dev, i, 0, keepdims=False)
+            return re_.external_step(
+                a, powers, row, mask1=mask1, decomp_length=decomp_length,
+                log2_base=log2_base, offset=offset,
+                mac_dtype=dt.mac_dtype(), axis_name=axis_name)
+
+        acc_rows = jax.lax.fori_loop(0, n, body_l, acc_rows)
         out = re_.acc_n_from_rows(acc_rows, mask1)
         return out.reshape(lead + (mask1, fe.N))
 

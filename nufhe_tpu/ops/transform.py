@@ -58,14 +58,20 @@ ACC_LIMBS = 2
 # (a0 x vlo products, weight 2^0); groups 1..4 are the A channel's
 # radix-2^8 pieces (weight 2^(8(s-1)) toward A, overall weight 2^6*2^(8(s-1)))
 SHIFT_GROUPS = 5
-# Approximate (rounded-key) mode — the transform_type='FFT' engine, the
-# accuracy class of the reference's f64 tangent-FFT path: the key spectrum
-# is rounded to multiples of 2^6 at key preparation (vhi = round(v/64), a
-# per-slot error in [-32, 31]), the B channel disappears entirely, and the
-# four vhi limbs ARE the four output groups (A carried mod 2^32; delta =
-# A_inv directly, no extraction shift).  Measured noise cost: 2^-17.1
-# torus std per polynomial product, ~2^-11.6 per 500-step gate — invisible
-# next to the 2^-8.1 bootstrap noise (see DESIGN.md).
+# Approximate (rounded-key) mode — the transform_type='FFT' engine: the
+# key spectrum is rounded to multiples of 2^6 at key preparation
+# (vhi = round(v/64), a per-slot error in [-32, 31]), the B channel
+# disappears entirely, and the four vhi limbs ARE the four output groups
+# (A carried mod 2^32; delta = A_inv directly, no extraction shift).
+# This is a tracked speed/noise trade the reference does NOT make: the
+# reference's f64 FFT is exact for TFHE magnitudes (53-bit significand vs
+# <2^52 products, implementation_details.rst:66), while this mode injects
+# a measured ~4.3e-6 torus^2 per gate — ~15% extra variance over the
+# 500-step bootstrap noise, dominated by a one-time coherent coupling of
+# the structured test vector with the fixed key-rounding pattern; tracked
+# with 1.5x headroom in ref.bootstrap_ref.blind_rotate_variance
+# (exact=False) and statistically pinned by
+# tests/test_gates.py::test_gate_noise_within_tracked_variance.
 KEY_LIMBS_APPROX = 4
 SHIFT_GROUPS_APPROX = 4
 
@@ -149,8 +155,9 @@ def _limb_split_38(v, exact=True):
 
     ``exact=False`` (the rounded-key / 'FFT' mode): vlo is DROPPED — the
     value is rounded to vhi = round(v / 64) and only the 4 vhi limbs are
-    emitted (the per-slot error in [-32, 31] becomes key noise, the
-    accuracy class of the reference's f64 FFT path)."""
+    emitted (the per-slot error in [-32, 31] becomes tracked key noise —
+    a speed/noise trade the reference's exact-for-TFHE f64 FFT path does
+    not make; see the module header)."""
     if exact:
         vlo = ((v + 32) & 63) - 32
         limbs = [vlo.astype(np.int8)]

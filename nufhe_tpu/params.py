@@ -91,13 +91,14 @@ class NuFHEParameters:
     """Parameters of the FHE scheme.
 
     :param transform_type: ``'NTT'`` or ``'FFT'`` — the reference's two
-        accuracy classes, mapped to the two modes of the Z/2^32 engine:
+        backends, mapped to the two modes of the Z/2^32 engine:
 
         - ``'NTT'`` = the EXACT engine: every negacyclic product is the
           exact integer result mod 2^32, bit-equal to the reference's
           Goldilocks NTT path;
-        - ``'FFT'`` = the ROUNDED-KEY engine (the accuracy class of the
-          reference's f64 tangent-FFT path): the bootstrap-key spectrum
+        - ``'FFT'`` = the ROUNDED-KEY engine — a tracked speed/noise
+          trade the reference does not make (its f64 FFT is exact for
+          TFHE magnitudes): the bootstrap-key spectrum
           (values mod 2^38) is rounded to multiples of 2^6 ONCE at key
           preparation (``ops.transform._limb_split_38``).  The
           computation is exact integer arithmetic *given the rounded key*;

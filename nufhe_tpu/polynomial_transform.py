@@ -7,8 +7,9 @@ reference (host) transforms, and transformed-space arithmetic.
 
 On device both backends are served by the Z/2^32 Nussbaumer engine
 (``ops/transform.py``) in its two accuracy modes — 'NTT' selects the exact
-engine, 'FFT' the rounded-key engine (the accuracy class of the reference's
-f64 FFT path; see ``params.NuFHEParameters``).  These facade backends define
+engine, 'FFT' the rounded-key engine (a tracked speed/noise trade the
+reference's exact-for-TFHE f64 FFT does not make; see
+``params.NuFHEParameters``).  These facade backends define
 the *reference domain semantics* (u64 Goldilocks field vs complex128) used
 by the oracle layer and available to users who need the reference's
 transformed representation.

@@ -35,8 +35,23 @@ def blind_rotate(accum_a, bk_coeff, bara, params, exact=True):
     return accum
 
 
+def round_phase_coarse_ref(bara, bits, n_poly):
+    """Numpy oracle of ``ops.bootstrap.round_phase_coarse``: round [0, 2N)
+    rotation amounts to multiples of 2^bits with the zero-mean tie rule
+    (exact ties follow the next-higher phase bit), wrapping mod 2N."""
+    if not bits:
+        return bara
+    bara = np.asarray(bara).astype(np.int32)
+    step = np.int32(1 << bits)
+    half = np.int32(step >> 1)
+    rem = bara & np.int32(step - 1)
+    up = (rem > half) | ((rem == half) & (((bara >> bits) & 1) == 1))
+    out = bara - rem + np.where(up, step, np.int32(0))
+    return (out & np.int32(2 * n_poly - 1)).astype(np.int32)
+
+
 def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
-              no_keyswitch=False, exact=True):
+              no_keyswitch=False, exact=True, coarse_phase_bits=0):
     """result = LWE(mu) if phase(x) > 0 else LWE(-mu), rebuilt from scratch.
 
     Reference: ``nufhe/bootstrap.py:154-229``.
@@ -53,6 +68,8 @@ def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
 
     barb = t32_to_phase_ref(lwe_b, 2 * n_poly)
     bara = t32_to_phase_ref(lwe_a, 2 * n_poly)
+    if coarse_phase_bits:
+        bara = round_phase_coarse_ref(bara, coarse_phase_bits, n_poly)
 
     # testvector = X^{2N - barb} * (mu, mu, ..., mu)
     testvect = np.full(lwe_b.shape + (n_poly,), Torus32(mu), Torus32)
@@ -65,7 +82,8 @@ def bootstrap(lwe_a, lwe_b, bk_coeff, ks, mu, params, ks_params,
     ex_a, ex_b = tlwe_ref.tlwe_extract_lwe_samples(accum)
     ex_cv = np.full(
         ex_b.shape,
-        blind_rotate_variance(params, lwe_a.shape[-1], exact=exact),
+        blind_rotate_variance(params, lwe_a.shape[-1], exact=exact,
+                              coarse_phase_bits=coarse_phase_bits),
         np.float32)
 
     if no_keyswitch:
@@ -122,11 +140,24 @@ def blind_rotate_variance(params, n_steps: int, exact=True,
         var += 6.5e-6      # structured test-vector injection (measured
         #                    4.3e-6 across seeds/ladder lengths, x1.5)
     if coarse_phase_bits:
-        # coarse modulus switch (ops.bootstrap.round_phase_coarse):
-        # per-step phase error e*s with E[s^2] = 1/2 and E[e^2] ~
-        # 2^(2*bits)/6 rotation steps^2 (zero-mean rounding to multiples
-        # of 2^bits), one step = 1/(2N) of the torus
+        # Coarse modulus switch (ops.bootstrap.round_phase_coarse):
+        # per-step rotation-amount error e*s with E[s^2] = 1/2 and the
+        # EXACT second moment of zero-mean rounding of a uniform integer
+        # to multiples of 2^bits (h = 2^(bits-1); remainders 1..h-1 round
+        # down/up symmetrically, the tie at h splits +-h):
+        #   E[e^2] = (2*sum_{r=1}^{h-1} r^2 + h^2) / 2^bits
+        #          = (h*(h-1)*(2h-1)/3 + h^2) / (2h)
+        # = 0.5 / 1.5 / 5.5 for bits = 1 / 2 / 3 — validated statistically
+        # against the device tie rule by
+        # tests/test_bootstrap.py::test_coarse_rounding_offset_statistics.
+        # One rotation step = 1/(2N) of the torus.  NOTE this is a BUDGET
+        # PROXY: the offset error does not add to the gate's measured
+        # output noise (it shifts where the test vector is sampled, i.e.
+        # consumes the CURRENT gate's phase margin like extra modulus-
+        # switch noise); carrying it in the output cv keeps downstream
+        # noise budgeting conservative.
         n_poly = params.tlwe_params.polynomial_degree
-        step_var = (2.0 ** (2 * coarse_phase_bits)) / 6.0 / 2.0
-        var += n_steps * step_var / float(2 * n_poly) ** 2
+        h = 2 ** (coarse_phase_bits - 1)
+        e_sq = (h * (h - 1) * (2 * h - 1) / 3.0 + h * h) / (2.0 * h)
+        var += n_steps * (e_sq / 2.0) / float(2 * n_poly) ** 2
     return var

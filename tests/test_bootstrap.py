@@ -87,6 +87,70 @@ def test_bootstrap_rounded_key_matches_oracle():
             > bootstrap_ref.blind_rotate_variance(tp, LWE_SIZE))
 
 
+def test_bootstrap_coarse_matches_oracle(small_keys):
+    """Coarse modulus switch (coarse_phase_bits=2): the device path
+    (rounded rotation amounts + statically skipped low barrel rounds) is
+    bit-equal to the host oracle applying the same rounding, and the cv
+    carries the recalibrated phase-offset term."""
+    params, secret, cloud, rng = small_keys
+    B = 4
+    lwe_a = rng.uniform_torus32((B, LWE_SIZE))
+    lwe_b = rng.uniform_torus32((B,))
+    mu = phase_to_t32(1, 8)
+    bk = cloud.bootstrap_key
+    ks = cloud.keyswitch_key
+    tp = params.tgsw_params
+    bits = 2
+
+    want = bootstrap_ref.bootstrap(
+        lwe_a, lwe_b, bk.bk_coeff, (ks.ks_a, ks.ks_b, ks.ks_cv),
+        mu, tp, (ks.decomp_length, ks.log2_base), coarse_phase_bits=bits)
+    arrays, meta = ks.device()
+    got = dboot.bootstrap_device(
+        jnp.asarray(lwe_a), jnp.asarray(lwe_b), bk.device(), arrays, meta,
+        int(mu), tp, coarse_phase_bits=bits)
+    assert np.array_equal(np.asarray(got[0]), want[0])
+    assert np.array_equal(np.asarray(got[1]), want[1])
+    assert errors_allclose(got[2], want[2])
+
+
+def test_coarse_rounding_offset_statistics():
+    """Statistical validation of the coarse-modulus-switch noise term
+    (round-4 verdict item 5): the accumulated rotation-offset error
+    delta = sum_i (round(bara_i) - bara_i) * s_i, measured with the
+    DEVICE rounding rule on uniform torus inputs, must match the tracked
+    model's exact second moment n_set * E[e^2] within sampling error
+    (n_set = key hamming weight; E[e^2] = 0.5 / 1.5 / 5.5 for bits
+    1 / 2 / 3 — see ``ref.bootstrap_ref.blind_rotate_variance``)."""
+    n_poly = 1024
+    n, batch = 500, 4096
+    rs = np.random.RandomState(915)
+    a = rs.randint(-2**31, 2**31, size=(batch, n)).astype(np.int32)
+    bara = np.asarray(dboot.t32_to_phase(jnp.asarray(a), 2 * n_poly))
+    s = rs.randint(0, 2, size=n).astype(np.int64)
+    n_set = int(s.sum())
+    for bits in (1, 2, 3):
+        bara_r = np.asarray(dboot.round_phase_coarse(
+            jnp.asarray(bara), bits, n_poly))
+        # matches the numpy oracle used by the bit-equality test above
+        assert np.array_equal(
+            bara_r, bootstrap_ref.round_phase_coarse_ref(bara, bits, n_poly))
+        e = ((bara_r.astype(np.int64) - bara + n_poly) % (2 * n_poly)
+             ) - n_poly
+        h = 1 << (bits - 1)
+        assert np.abs(e).max() <= h
+        delta = (e * s).sum(axis=1).astype(np.float64)
+        e_sq = (h * (h - 1) * (2 * h - 1) / 3.0 + h * h) / (2.0 * h)
+        model = n_set * e_sq
+        measured = float((delta ** 2).mean())
+        # batch=4096 samples of a ~250-term CLT sum: the sample second
+        # moment has ~2.2% relative std; [0.85, 1.18] is a >5-sigma band
+        assert 0.85 * model < measured < 1.18 * model, (
+            bits, measured, model)
+        # the rounding is zero-mean (the tie rule splits +-h evenly)
+        assert abs(float(delta.mean())) < 3 * np.sqrt(model / batch), bits
+
+
 def test_bootstrap_decrypts_correctly(small_keys):
     """End-to-end: phase sign in, +-mu out, decryptable with the secret key.
 

@@ -189,12 +189,22 @@ def test_gate_coarse_phase_bits():
         assert cv > cv0, (bits, cv, cv0)  # the phase-noise term is tracked
 
 
-def test_gate_noise_within_tracked_variance(transform_type):
+@pytest.mark.parametrize("coarse_bits", [0, 2])
+def test_gate_noise_within_tracked_variance(transform_type, coarse_bits):
     """Statistical noise test (round-3 verdict item 5): measured gate
     output noise stays within the tracked ``current_variances`` bound
     (CGGI16 + the rounded-key term for 'FFT',
     ``ref.bootstrap_ref.blind_rotate_variance(exact=False)``) over
-    multiple seeds, and is not wildly overestimated."""
+    multiple seeds, and is not wildly overestimated.
+
+    ``coarse_bits=2`` (round-4 verdict item 5) additionally pins the
+    PHYSICAL claim behind the coarse modulus switch: the rotation-offset
+    error does NOT appear in the measured output noise (it consumes the
+    current gate's phase margin instead — see
+    ``ref.bootstrap_ref.blind_rotate_variance``), so the measured output
+    variance must ALSO stay within the bits=0 bound; the offset error
+    itself is validated directly by
+    ``test_bootstrap.py::test_coarse_rounding_offset_statistics``."""
     from nufhe_tpu.ref import lwe_ref
     from nufhe_tpu.models.gates import _MU
 
@@ -204,7 +214,8 @@ def test_gate_noise_within_tracked_variance(transform_type):
         rng = nf.DeterministicRNG(seed)
         secret, cloud = nf.make_key_pair(
             rng, lwe_size=LWE_SIZE, transform_type=transform_type)
-        vm = nf.VirtualMachine(cloud)
+        vm = nf.VirtualMachine(cloud, perf_params=nf.PerformanceParameters(
+            cloud.params, coarse_phase_bits=coarse_bits))
         a = np.random.RandomState(seed).randint(0, 2, batch).astype(bool)
         b = np.random.RandomState(seed + 50).randint(0, 2, batch).astype(bool)
         ca = nf.encrypt(rng, secret, a)
@@ -225,6 +236,18 @@ def test_gate_noise_within_tracked_variance(transform_type):
     # sanity floor (catching a wildly pessimistic estimate)
     assert measured_var < cv_val * 1.3, (measured_var, cv_val)
     assert measured_var > cv_val / 100, (measured_var, cv_val)
+    if coarse_bits:
+        # output noise must be FLAT in coarse_bits: it also passes the
+        # bits=0 bound (the tracked coarse term is a budget proxy only)
+        from nufhe_tpu.ref.bootstrap_ref import blind_rotate_variance
+        tp = cloud.params.tgsw_params
+        exact = transform_type != 'FFT'
+        coarse_term = (
+            blind_rotate_variance(tp, LWE_SIZE, exact=exact,
+                                  coarse_phase_bits=coarse_bits)
+            - blind_rotate_variance(tp, LWE_SIZE, exact=exact))
+        assert measured_var < (cv_val - coarse_term) * 1.3, (
+            measured_var, cv_val, coarse_term)
 
 
 @pytest.mark.perf

@@ -1089,7 +1089,10 @@ def tricks(batch, lane_tile, n_steps=100):
         ("t7 slab-hoisted inverse", None, step_t7),
         ("t5 deferred j-carry rot", None, external_step_t5),
     ]
+    sel = os.environ.get("NUFHE_TRICKS")   # substring filter, e.g. "t10"
     for name, repl, body in variants:
+        if sel and sel not in name:
+            continue
         even = repl == "even"
         with patched(**({} if (even or repl is None) else repl)):
             f = make(body or full_step)
