@@ -29,28 +29,38 @@ def t32_to_phase(phase, mspace_size: int):
 
 
 # measured peak scoped-VMEM of the fused step kernel per batch lane
-# (v5e, mask_size=1 i.e. mask1=2).  The exact (dual-channel) engine needs
-# ~75 KB/lane at lane tile 1024 and OOMs at 2048 (129.1 MB incl. 65 MB of
-# register spill slots — spills grow superlinearly with the tile); the
-# rounded-key engine fits 2048 lanes in 120 MB and runs FASTER there
-# (1.195 vs 1.269 ms/step chunked at batch 2^14).  Every per-lane
-# intermediate scales linearly with mask1, so the estimates are scaled
-# for other mask sizes.
-_VMEM_KB_PER_LANE_MASK1_2 = 75.0           # exact engine
-_VMEM_KB_PER_LANE_MASK1_2_ROUNDED = 58.0   # rounded-key ('FFT') engine
+# (v5e, mask_size=1 i.e. mask1=2).  The CHUNKED kernel keeps the
+# accumulator input in HBM (manual DMA into the revisited output window,
+# round 5), which removed a double-buffered (2048, bt) input window; with
+# that, the exact (dual-channel) engine fits lane tile 2048 in the 120 MB
+# budget (measured ~109 MB incl. ~65 MB register spill slots) and runs
+# 8.8% faster there (1.471 vs 1.613 ms/step chunked at batch 2^14); the
+# rounded-key engine fits 2048 either way (1.195 ms/step).  The PER-STEP
+# kernel still streams the accumulator through a windowed input, so its
+# exact-engine working set stays ~75 KB/lane and 2048 does not fit.
+# Every per-lane intermediate scales linearly with mask1, so the
+# estimates are scaled for other mask sizes.
+_VMEM_KB_PER_LANE_MASK1_2 = 75.0             # exact engine, per-step kernel
+_VMEM_KB_PER_LANE_MASK1_2_CHUNKED = 55.0     # exact engine, chunked kernel
+_VMEM_KB_PER_LANE_MASK1_2_ROUNDED = 58.0     # rounded-key ('FFT') engine
 
 
 def lane_tile_for(batch: int, vmem_limit_mb: int, mask1: int = 2,
-                  exact: bool = True):
+                  exact: bool = True, chunked: bool = False):
     """Largest 128-multiple lane tile whose step-kernel working set fits
     the scoped-VMEM budget (device-resolved; see performance.py), or None
     when not even the 128-lane minimum fits (the caller then falls back
     to the XLA-composed path).  The rounded-key engine (``exact=False``)
-    has a smaller working set and admits the faster 2048-lane tile."""
-    per_lane = (_VMEM_KB_PER_LANE_MASK1_2 if exact
-                else _VMEM_KB_PER_LANE_MASK1_2_ROUNDED)
+    and, since round 5, the chunked exact kernel (``chunked=True``) admit
+    the faster 2048-lane tile."""
+    if exact:
+        per_lane = (_VMEM_KB_PER_LANE_MASK1_2_CHUNKED if chunked
+                    else _VMEM_KB_PER_LANE_MASK1_2)
+    else:
+        per_lane = _VMEM_KB_PER_LANE_MASK1_2_ROUNDED
     kb_per_lane = per_lane * (mask1 / 2.0)
-    tiles = (1024, 512, 256, 128) if exact else (2048, 1024, 512, 256, 128)
+    wide = (not exact) or chunked
+    tiles = (2048, 1024, 512, 256, 128) if wide else (1024, 512, 256, 128)
     for tile in tiles:
         if tile <= max(batch, 128) and \
                 tile * kb_per_lane / 1024.0 <= vmem_limit_mb:
@@ -79,7 +89,8 @@ def round_phase_coarse(bara, bits: int, n_poly: int):
 
 def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                  use_pallas=None, lane_tile=None, slot_axis_name=None,
-                 vmem_limit_mb=None, chunk_steps=1, coarse_phase_bits=0):
+                 vmem_limit_mb=None, chunk_steps=1, coarse_phase_bits=0,
+                 channel_split=None):
     """ACC <- BK_i (x) [(X^{bara_i}-1) ACC] + ACC over all n key bits.
 
     On TPU (and without tensor parallelism) each CMUX step runs as one
@@ -167,9 +178,10 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
         # engine mode read off the expanded key's Q axis (4 groups per
         # output poly = rounded-key 'FFT' mode, 5 = exact)
         exact_mode = bk_dev.shape[-1] // (mask1 * 32) != 4
+        chunked_mode = int(chunk_steps or 1) > 1 and n % int(chunk_steps) == 0
         lane_tile = lane_tile_for(
             int(np.prod(lead)) if lead else accum_a.shape[0], vmem_limit_mb,
-            mask1=mask1, exact=exact_mode)
+            mask1=mask1, exact=exact_mode, chunked=chunked_mode)
         if lane_tile is None:
             # not even a 128-lane tile fits this device's VMEM: run the
             # XLA-composed path instead of handing Mosaic an impossible
@@ -208,7 +220,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                 mask1, decomp_length, log2_base, offset, chunk,
                 lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
                 vmem_limit_mb=vmem_limit_mb,
-                skip_low_bits=coarse_phase_bits)
+                skip_low_bits=coarse_phase_bits,
+                channel_split=bool(channel_split))
 
             def body_c(i, a):
                 return rot_chunk(a, bara3, bk_dev, i * chunk)
@@ -219,7 +232,8 @@ def blind_rotate(accum_a, bk_dev, bara, tgsw_params, axis_name=None,
                 mask1, decomp_length, log2_base, offset,
                 lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
                 vmem_limit_mb=vmem_limit_mb,
-                skip_low_bits=coarse_phase_bits)
+                skip_low_bits=coarse_phase_bits,
+                channel_split=bool(channel_split))
 
             def body(i, a):
                 powers = jax.lax.dynamic_index_in_dim(

@@ -28,7 +28,8 @@ from .. import rows_engine as re_
 def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, lane_tile: int = 128,
                             mac_dtype=jnp.int8, interpret: bool = False,
-                            vmem_limit_mb: int = 120, skip_low_bits: int = 0):
+                            vmem_limit_mb: int = 120, skip_low_bits: int = 0,
+                            channel_split: bool = False):
     """Rows-layout fused step kernel: polynomial dims on rows (cheap
     vreg-reindex rolls), batch on lanes (one lane tile per grid cell)."""
     n_rows = mask1 * re_.N
@@ -38,7 +39,7 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
             acc_ref[:, :], p_ref[:, :], rhs_ref[:, :, :],
             mask1=mask1, decomp_length=decomp_length,
             log2_base=log2_base, offset=offset, mac_dtype=mac_dtype,
-            skip_low_bits=skip_low_bits)
+            skip_low_bits=skip_low_bits, channel_split=channel_split)
 
     def step(acc_rows, p, rhs_row):
         b = acc_rows.shape[-1]
@@ -71,7 +72,8 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
 def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, chunk: int, lane_tile: int = 512,
                             mac_dtype=jnp.int8, interpret: bool = False,
-                            vmem_limit_mb: int = 120, skip_low_bits: int = 0):
+                            vmem_limit_mb: int = 120, skip_low_bits: int = 0,
+                            channel_split: bool = False):
     """``chunk`` consecutive CMUX steps as ONE pallas_call.
 
     Grid = (batch cells, steps-in-chunk); the accumulator is the revisited
@@ -88,19 +90,31 @@ def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
     """
     n_rows = mask1 * re_.N
 
-    def kernel(start_ref, bara_ref, acc_in_ref, rhs_ref, out_ref):
+    def kernel(start_ref, bara_ref, acc_hbm_ref, rhs_ref, out_ref, sem):
         del start_ref  # consumed by the index maps
         step = pl.program_id(1)
+        cell = pl.program_id(0)
+        bt = out_ref.shape[-1]
 
         @pl.when(step == 0)
         def _():
-            out_ref[:, :] = acc_in_ref[:, :]
+            # the accumulator input stays in HBM (memory_space=ANY) and is
+            # DMA-ed straight into the revisited output window once per
+            # cell — a windowed VMEM input would cost a double-buffered
+            # (n_rows, bt) allocation (32 MB at bt=2048) that the fused
+            # exact kernel cannot afford; the buffer itself is aliased to
+            # the output, so the copy reads the cell's own (not yet
+            # rewritten) region
+            cp = pltpu.make_async_copy(
+                acc_hbm_ref.at[:, pl.ds(cell * bt, bt)], out_ref, sem)
+            cp.start()
+            cp.wait()
 
         out_ref[:, :] = re_.external_step(
             out_ref[:, :], bara_ref[0], rhs_ref[0],
             mask1=mask1, decomp_length=decomp_length,
             log2_base=log2_base, offset=offset, mac_dtype=mac_dtype,
-            skip_low_bits=skip_low_bits)
+            skip_low_bits=skip_low_bits, channel_split=channel_split)
 
     def rotate(acc_rows, bara3, bk_dev, start):
         """One chunk: steps [start, start+chunk) of the rotation.
@@ -120,18 +134,24 @@ def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
             in_specs=[
                 pl.BlockSpec((1, 1, bt),
                              lambda i, s, start_ref: (start_ref[0] + s, 0, i)),
-                pl.BlockSpec((n_rows, bt), lambda i, s, start_ref: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # acc: HBM, manual DMA
                 pl.BlockSpec((1, re_.L, c_size, q_size),
                              lambda i, s, start_ref:
                              (start_ref[0] + s, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((n_rows, bt),
                                    lambda i, s, start_ref: (0, i)),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
+            # the acc HBM buffer doubles as the output buffer (operand
+            # index 2 counts the scalar-prefetch arg); each cell's region
+            # is only rewritten at its own last-step writeback, after its
+            # step-0 copy has consumed it
+            input_output_aliases={2: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary")),

@@ -657,7 +657,7 @@ def _combine_groups(ps_slices):
     return a, b_
 
 
-def dot_out_to_delta(out, mask1, acc=None):
+def dot_out_to_delta(out, mask1, acc=None, base=None):
     """Raw MAC dot output (L, Q, b) -> acc-layout delta (mask1*1024, b).
 
     Same mathematics as ``_combine_groups`` + ``dit_inverse2`` + fold +
@@ -666,15 +666,25 @@ def dot_out_to_delta(out, mask1, acc=None):
     normalization into the second (emitted per fold output) — neither the
     dual-channel array nor the folded array is ever materialized.
 
+    Q-group counts select the channel mode: 5 = fused exact (A/B ride the
+    inverse together, stride 2*o_r), 4 = A channel alone (rounded-key
+    engine, or the A leg of the channel-sequential exact path), 1 = the
+    B channel alone (the second leg; pass its A result as ``base`` to get
+    the exact delta ``base + (B_inv >> 6)``).
+
     :param acc: optional (mask1*1024, b) int32 accumulator ADDED per
         output slice as it is emitted (the CMUX acc update; fusing it here
         removes the separate full-array add pass — measured -0.02 ms/step).
+    :param base: optional (mask1*1024, b) int32 added per output slice
+        with this call's folded outputs arithmetic-shifted by INV_SHIFT
+        (the B-channel extraction; only valid with a 1-group ``out``).
     """
     b = out.shape[-1]
     o_r = mask1 * R
     q = out.shape[-2]
-    n_groups = q // o_r               # 5 = exact (A/B), 4 = rounded-key (A)
+    n_groups = q // o_r       # 5 = exact (A/B), 4 = A-only, 1 = B-only
     two_ch = n_groups == SHIFT_GROUPS
+    assert base is None or n_groups == 1
     stride = (2 * o_r) if two_ch else o_r
 
     v0 = out.reshape(8, 8, q, b)
@@ -682,6 +692,8 @@ def dot_out_to_delta(out, mask1, acc=None):
     def combine(i):
         # slots {i, 8+i, ..., 56+i} -> (8*stride, b) rows (slot[, ch], o, k)
         o_sl = v0[:, i]
+        if n_groups == 1:
+            return o_sl.reshape(8 * stride, b)
         a_ch, b_ch = _combine_groups(
             [jax.lax.slice_in_dim(o_sl, s * o_r, (s + 1) * o_r, axis=1)
              for s in range(n_groups)])
@@ -770,12 +782,20 @@ def dot_out_to_delta(out, mask1, acc=None):
         for zi, (ga, gb) in enumerate(((g0, g4), (g1, g5),
                                        (g2, g6), (g3, g7))):
             c = ga + rot_block(gb, 1)   # fold: ([ch,] o, k) rows x b
-            d_ = (normalize_dual(c[:o_r], c[o_r:]) if two_ch
-                  else c.astype(jnp.int32))
+            q_idx = zi * 8 + j
+            if two_ch:
+                d_ = normalize_dual(c[:o_r], c[o_r:])
+            elif base is not None:
+                # B-channel leg: exact extraction against the A result
+                # (same arithmetic as normalize_dual, slice-fused)
+                d_ = (jax.lax.slice_in_dim(
+                    base, q_idx * o_r, (q_idx + 1) * o_r, axis=0)
+                    + (c.reshape(o_r, b) >> INV_SHIFT)).astype(jnp.int32)
+            else:
+                d_ = c.astype(jnp.int32)
             if acc is not None:
-                # output slot q = zi*8 + j lands at acc rows
-                # [q*o_r, (q+1)*o_r): fuse the CMUX accumulator add
-                q_idx = zi * 8 + j
+                # output slot q lands at acc rows [q*o_r, (q+1)*o_r):
+                # fuse the CMUX accumulator add
                 d_ = (d_.reshape(o_r, b)
                       + jax.lax.slice_in_dim(
                           acc, q_idx * o_r, (q_idx + 1) * o_r, axis=0)
@@ -833,7 +853,7 @@ def packed_to_lhs(xt_pk, n_pk, mac_dtype, raw=False):
 
 def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
                     axis_name=None, slot_axis_name=None, swar=True,
-                    packed=None, radix8=True, acc=None):
+                    packed=None, radix8=True, acc=None, channel_split=False):
     """sum_g digits_g * key_g, rows layout.
 
     :param digits: (M*g_total*R, b) int32 rows (j, g, i), |values| <= 2^9
@@ -857,6 +877,13 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
     :param acc: optional accumulator fused into the inverse's output
         emission (non-sharded radix-8 path only); when given the RESULT
         INCLUDES acc (i.e. it is the updated accumulator, not the delta).
+    :param channel_split: exact engine only (5-group rhs, non-sharded
+        radix-8 path): run the A and B channels as two SEQUENTIAL
+        dot+inverse legs (rhs sliced by shift group) instead of one fused
+        dual-channel pipeline.  Bit-identical (the channels never
+        interact until the final extraction); halves the peak live set of
+        the inverse, trading one extra dot launch — a VMEM/register-
+        pressure lever for large lane tiles (see DESIGN.md round 5).
     :returns: (mask1*1024, b) int32 acc-layout product (rows (j, o, i)),
         plus ``acc`` when given.
     """
@@ -912,6 +939,22 @@ def transformed_mac(digits, rhs, *, mask1, g_total, mac_dtype=jnp.int8,
         else:
             lo3, hi3 = jax.lax.psum((lo3, hi3), axis_name)
     else:
+        if (radix8 and channel_split
+                and rhs.shape[-1] // o_r == SHIFT_GROUPS):
+            # channel-sequential exact path: A leg (groups 1..4) through
+            # its own dot+inverse, then the B leg (group 0) with the A
+            # result and extraction shift fused into its emission
+            rhs_a = jax.lax.slice_in_dim(rhs, o_r, rhs.shape[-1], axis=2)
+            rhs_b = jax.lax.slice_in_dim(rhs, 0, o_r, axis=2)
+            a_f = dot_out_to_delta(
+                _mac_dot_raw(lhs, rhs_a, mac_dtype), mask1)
+            # NOTE there is no way to force the legs to sequence:
+            # lax.optimization_barrier does not lower in Pallas TPU
+            # (NotImplementedError, measured round 5), so the scheduler
+            # is free to interleave both dot+inverse pipelines
+            return dot_out_to_delta(
+                _mac_dot_raw(lhs, rhs_b, mac_dtype), mask1,
+                acc=acc, base=a_f)
         out = _mac_dot_raw(lhs, rhs, mac_dtype)
         if radix8:
             # fused path: group combine rides the first inverse pass,
@@ -976,7 +1019,8 @@ def _mac_dot(lhs, rhs, mask1, mac_dtype):
 
 def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
                   mac_dtype=jnp.int8, axis_name=None,
-                  slot_axis_name=None, radix8=True, skip_low_bits=0):
+                  slot_axis_name=None, radix8=True, skip_low_bits=0,
+                  channel_split=False):
     """One CMUX step in rows layout: ACC += BK (x) decomp((X^p - 1) ACC).
 
     :param acc: (mask1*1024, b) int32 rows (j, o, i).
@@ -994,7 +1038,7 @@ def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
             return transformed_mac(
                 None, rhs, mask1=mask1, g_total=mask1 * decomp_length,
                 mac_dtype=mac_dtype, packed=packed, radix8=radix8,
-                acc=acc).astype(jnp.int32)
+                acc=acc, channel_split=channel_split).astype(jnp.int32)
         delta = transformed_mac(
             None, rhs, mask1=mask1, g_total=mask1 * decomp_length,
             mac_dtype=mac_dtype, slot_axis_name=slot_axis_name,
@@ -1012,7 +1056,9 @@ def external_step(acc, p, rhs, *, mask1, decomp_length, log2_base, offset,
         g_total = mask1 * decomp_length
     delta = transformed_mac(
         digits, rhs, mask1=mask1, g_total=g_total, mac_dtype=mac_dtype,
-        axis_name=axis_name, slot_axis_name=slot_axis_name, radix8=radix8)
+        axis_name=axis_name, slot_axis_name=slot_axis_name, radix8=radix8,
+        channel_split=channel_split and axis_name is None
+        and slot_axis_name is None)
     return (acc + delta).astype(jnp.int32)
 
 

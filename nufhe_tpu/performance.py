@@ -126,7 +126,12 @@ class PerformanceParametersForDevice:
             # opt-in speed/noise trade: round rotation amounts to
             # multiples of 2^bits and skip the low barrel rounds (see
             # ops.bootstrap.round_phase_coarse); 0 keeps the reference's
-            # exact modulus switch
+            # exact modulus switch.  DELIBERATELY not a default: the
+            # offset error consumes the gate's input phase margin —
+            # measured/derived failure-rate cost ~10x at bits=1, ~2000x
+            # at bits=2, for a 1.7-5% speedup (margin table in DESIGN.md
+            # round 5); the offset statistics and the bits=2 bit-equality
+            # oracle are tested in tests/test_bootstrap.py
             coarse = int(os.environ.get("NUFHE_TPU_COARSE_PHASE_BITS", "0"))
         self.coarse_phase_bits = max(0, min(4, int(coarse)))
         self.platform = platform

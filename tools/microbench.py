@@ -263,6 +263,8 @@ def bench_rotation(batch, lane_tile, n_steps=None):
                               coarse_phase_bits analogue)
       NUFHE_MB_NO_PERSTEP=1   skip the per-step variant (correctness is
                               then checked against the first chunk config)
+      NUFHE_MB_SPLIT=1        channel-sequential A-then-B inverse (exact
+                              engine VMEM/spill lever; bit-identical)
     """
     from nufhe_tpu.ops import transform as dt
     from nufhe_tpu.ops.pallas import blind_rotate as pbr
@@ -273,6 +275,7 @@ def bench_rotation(batch, lane_tile, n_steps=None):
                    os.environ.get("NUFHE_MB_CHUNKS", "10,25,50").split(","))
     skip = int(os.environ.get("NUFHE_MB_SKIP", "0"))
     no_per_step = bool(os.environ.get("NUFHE_MB_NO_PERSTEP"))
+    split = bool(os.environ.get("NUFHE_MB_SPLIT"))
 
     tp, re_, acc, powers, row = _setup(batch)
     rs = np.random.RandomState(1)
@@ -286,12 +289,13 @@ def bench_rotation(batch, lane_tile, n_steps=None):
 
     results = {}
     print(f"engine: {'exact' if _exact() else 'rounded-key'} "
-          f"steps={n_steps} skip_low_bits={skip}", flush=True)
+          f"steps={n_steps} skip_low_bits={skip} channel_split={split}",
+          flush=True)
     oracle = None
     if not no_per_step:
         step = pbr.make_external_step_rows(
             *args, lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
-            skip_low_bits=skip)
+            skip_low_bits=skip, channel_split=split)
 
         # bk/bara ride as ARGUMENTS (closed-over arrays would be embedded
         # as HLO constants — a 0.5 GB program body the remote compiler
@@ -317,7 +321,7 @@ def bench_rotation(batch, lane_tile, n_steps=None):
             continue
         rot = pbr.make_blind_rotate_chunk(
             *args, chunk, lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
-            skip_low_bits=skip)
+            skip_low_bits=skip, channel_split=split)
 
         @jax.jit
         def chunked(a, bk_, bara_, rot=rot, chunk=chunk):

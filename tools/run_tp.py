@@ -1,14 +1,16 @@
-"""Round-4 verdict item: prove the tensor-parallel code paths compile and
-run through Mosaic/XLA:TPU on REAL hardware (a 1-device mesh exercises the
-identical shard_map + psum / all_gather program; multi-chip hardware is not
+"""Prove the tensor-parallel code paths compile and run through
+Mosaic/XLA:TPU on REAL hardware (a 1-device mesh exercises the identical
+shard_map + psum / all_gather program; multi-chip hardware is not
 available on this rig).
 
 Runs the limbs-sharded (per-step psum) and slots-sharded (per-step
 all_gather) bootstrap through ``parallel.mesh.sharded_bootstrap_fn`` on the
 axon chip, checks decryption correctness of a NAND against plaintext, and
-writes ``TP_r04.json``.
+writes ``TP_r05.json`` (override with NUFHE_TP_OUT).  Since round 5 the
+limbs mode rides the rows engine (``ops/bootstrap.blind_rotate``), closing
+the 14x limbs-vs-slots gap TP_r04 recorded.
 
-Usage: python tools/run_tp_r04.py [batch]
+Usage: python tools/run_tp.py [batch]
 """
 
 import json
@@ -78,7 +80,8 @@ def main(batch=1024):
         print(json.dumps({mode: results["modes"][mode]}), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "TP_r04.json")
+        os.path.abspath(__file__))),
+        os.environ.get("NUFHE_TP_OUT", "TP_r05.json"))
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
