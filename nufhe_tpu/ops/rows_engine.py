@@ -91,14 +91,27 @@ def roll_region(x, k, region):
 
 
 def rot_block(x, e, blk=R):
-    """Negacyclic rotation by Y^e within each blk-row block (Y^blk = -1)."""
+    """Negacyclic rotation by Y^e within each blk-row block (Y^blk = -1).
+
+    ``e`` is always STATIC in this engine (twiddles, carries and the
+    barrel's per-round amounts are compile-time constants; only the
+    SELECTION between rounds is data-dependent), so the rotation lowers
+    as one partial negate + slice-concat — [-tail_e | head_(blk-e)] per
+    block — instead of roll+negate+select (round-5 "t10": measured
+    1.307 -> 1.242 ms/step on the rounded engine, bit-exact)."""
     e = e % (2 * blk)
-    if e >= blk:
-        x, e = -x, e - blk
+    neg = e >= blk
+    if neg:
+        e -= blk
     if e == 0:
-        return x
-    return jnp.where(_mask(x, 'geq_mod', blk, e),
-                     _roll(x, e), -_roll(x, e - blk))
+        return -x if neg else x
+    b = x.shape[-1]
+    v = x.reshape(-1, blk, b)
+    tail = v[:, blk - e:]
+    head = v[:, :blk - e]
+    out = (jnp.concatenate([tail, -head], axis=1) if neg
+           else jnp.concatenate([-tail, head], axis=1))
+    return out.reshape(x.shape)
 
 
 def rotate_acc(x, p, mask1, minus_one=False, skip_low_bits=0):
@@ -340,13 +353,14 @@ def _pk_rot_raw(w, e, bias2=0, blk=R):
         return (jnp.int32(_wrap32(bias2)) - x) if bias2 else -x
     if e == 0:
         return negate(w) if neg else w
-    hi = _roll(w, e)
-    lo = _roll(hi, -blk)      # == _roll(w, e - blk): aligned vreg reindex
-    if neg:
-        hi = negate(hi)
-    else:
-        lo = negate(lo)
-    return jnp.where(_mask(w, 'geq_mod', blk, e), hi, lo)
+    # static-e slice-concat form (see rot_block)
+    b = w.shape[-1]
+    v = w.reshape(-1, blk, b)
+    tail = v[:, blk - e:]
+    head = v[:, :blk - e]
+    out = (jnp.concatenate([tail, negate(head)], axis=1) if neg
+           else jnp.concatenate([negate(tail), head], axis=1))
+    return out.reshape(w.shape)
 
 
 def dif_forward_packed2(dig_pk, n_pk):

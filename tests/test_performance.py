@@ -13,10 +13,13 @@ from nufhe_tpu.models import gates as g
 
 
 def test_lane_tile_tracks_vmem_budget():
-    # 128 MB-class cores run 1024-lane tiles (exact engine; the leaner
-    # rounded-key engine fits 2048); 16 MB-class cores drop to 128
+    # 128 MB-class cores run 1024-lane tiles on the exact PER-STEP
+    # kernel; the leaner rounded-key engine and (since round 5) the
+    # chunked exact kernel — whose accumulator input stays in HBM —
+    # fit 2048; 16 MB-class cores drop to 128
     assert lane_tile_for(16384, 120) == 1024
     assert lane_tile_for(16384, 120, exact=False) == 2048
+    assert lane_tile_for(16384, 120, chunked=True) == 2048
     assert lane_tile_for(16384, 40) == 512
     assert lane_tile_for(16384, 16) == 128
     assert lane_tile_for(256, 120) == 256     # tile never exceeds the batch
