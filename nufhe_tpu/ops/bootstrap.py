@@ -283,9 +283,17 @@ def bootstrap_device(lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
     if coarse_phase_bits:
         bara = round_phase_coarse(bara, coarse_phase_bits, n_poly)
 
-    # testvector = X^{2N - barb} * (mu, ..., mu)
-    testvect = jnp.full(lwe_b.shape + (n_poly,), jnp.int32(mu))
-    testvectbis = dtlwe.monomial_shift(testvect, barb, invert_powers=True)
+    # testvector = X^{2N - barb} * (mu, ..., mu).  For a CONSTANT test
+    # vector the monomial shift is a pure sign pattern — coefficient k
+    # is +mu iff (k + barb) mod 2N < N — so it is computed directly
+    # (4 elementwise ops) instead of running the 11-round barrel shifter
+    # (bit-equal to dtlwe.monomial_shift(testvect, barb,
+    # invert_powers=True) on a constant vector; asserted in
+    # tests/test_bootstrap.py against the oracle end-to-end)
+    k_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * len(lwe_b.shape) + (n_poly,), len(lwe_b.shape))
+    pos = (k_iota + barb[..., None]) & jnp.int32(2 * n_poly - 1)
+    testvectbis = jnp.where(pos < n_poly, jnp.int32(mu), jnp.int32(-mu))
 
     accum, _ = dtlwe.tlwe_noiseless_trivial(testvectbis, mask_size)
     accum = blind_rotate(accum, bk_dev, bara, tgsw_params,
