@@ -77,21 +77,32 @@ def lwe_noiseless_trivial(mus, lwe_size: int):
 _to_i8 = jax.jit(lambda x: x.astype(jnp.int8))
 
 
+def _ks_n_pad(output_size):
+    # room for out_size 'a' columns, the 'b' column, and the scaled-cv
+    # column at index output_size + 1
+    return -(-(output_size + 2) // 128) * 128
+
+
 @jax.jit
-def _ks_pack_device(ks_a, ks_b):
+def _ks_pack_device(ks_a, ks_b, ks_cv, cv_scale):
     """Device twin of the host KS packing: per nonzero digit value, the
     (rows, out+1) [a | b] table split into KS_LIMBS balanced radix-2^8
-    limbs, 128-lane padded, int8 (the MXU-native operand type — the
-    round-5 switch from bf16 halves the matmul time at identical exact
-    i32 accumulation).  The i32 digit loop equals the host int64 loop
+    limbs, 128-lane padded, int8 (the MXU-native operand type), in
+    L-MAJOR row order (r = j * input_size + i — lets the Pallas kernel
+    build its one-hot masks with contiguous lane blocks).  Column
+    output_size + 1 of limb plane 0 carries an all-ones marker so the
+    nonzero-digit COUNT rides the same one-hot MACs as the data; the
+    keyswitch variance table is CONSTANT (alpha^2) on nonzero digits, so
+    cv = count * cv_scale exactly (within f32 ulp of the oracle's
+    sequential sum).  The i32 digit loop equals the host int64 loop
     bit-exactly (digits 0..3 of an i32 value depend only on its low 32
     bits)."""
     input_size, decomp_length, base, output_size = ks_a.shape
     rows = input_size * decomp_length
-    n_pad = -(-(output_size + 1) // 128) * 128
+    n_pad = _ks_n_pad(output_size)
 
     ab = jnp.concatenate([ks_a, ks_b[..., None]], axis=-1)
-    ab = ab.transpose(2, 0, 1, 3).reshape(base, rows, output_size + 1)[1:]
+    ab = ab.transpose(2, 1, 0, 3).reshape(base, rows, output_size + 1)[1:]
     v = ab.astype(jnp.int32)
     limbs = []
     for _ in range(KS_LIMBS):
@@ -101,6 +112,8 @@ def _ks_pack_device(ks_a, ks_b):
     limbs = jnp.stack(limbs, axis=1)     # (base-1, KS_LIMBS, rows, out+1)
     padded = jnp.pad(
         limbs, [(0, 0), (0, 0), (0, 0), (0, n_pad - output_size - 1)])
+    del ks_cv, cv_scale
+    padded = padded.at[:, 0, :, output_size + 1].set(1)
     return padded.astype(jnp.int8)
 
 
@@ -119,13 +132,24 @@ def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
     """
     input_size, decomp_length, base, output_size = ks_a.shape
     rows = input_size * decomp_length
-    n_pad = -(-(output_size + 1) // 128) * 128
+    n_pad = _ks_n_pad(output_size)
+
+    # the embedded count column assumes a CONSTANT variance table on
+    # nonzero digits (it is: every entry is the same fresh-encryption
+    # alpha^2); asserted here so a future non-constant table fails loudly
+    # instead of silently tracking the wrong bound
+    cv_host = np.asarray(jax.device_get(ks_cv))
+    nz = cv_host[:, :, 1:]
+    cv_scale = float(nz.max())
+    assert cv_scale <= 0 or nz.min() >= cv_scale * (1 - 1e-6), \
+        "keyswitch cv table is not constant; count-based cv needs rework"
 
     if isinstance(ks_a, jax.Array):
-        ab_limbs = _ks_pack_device(ks_a, ks_b)
+        ab_limbs = _ks_pack_device(ks_a, ks_b, jnp.asarray(ks_cv),
+                                   jnp.float32(cv_scale))
     else:
         ab = np.concatenate([ks_a, ks_b[..., None]], axis=-1)
-        ab = ab.transpose(2, 0, 1, 3).reshape(base, rows, output_size + 1)
+        ab = ab.transpose(2, 1, 0, 3).reshape(base, rows, output_size + 1)
         ab = ab[1:]  # digit 0 rows are trivial zero encryptions
 
         v = ab.astype(np.int64)
@@ -138,13 +162,13 @@ def prepare_keyswitch_device(ks_a, ks_b, ks_cv, log2_base: int):
 
         padded = np.zeros(limbs.shape[:-1] + (n_pad,), np.int8)
         padded[..., :output_size + 1] = limbs
+        padded[:, 0, :, output_size + 1] = 1
         # upload and keep the compact int8 form (MXU-native operand)
         ab_limbs = _to_i8(jnp.asarray(padded))
 
-    cv = np.asarray(ks_cv).transpose(2, 0, 1).reshape(base, rows)[1:]
     arrays = dict(
         ab_limbs=ab_limbs,
-        cv=jnp.asarray(cv.astype(np.float32)),
+        cv_scale=jnp.float32(cv_scale),
     )
     meta = KeyswitchMeta(
         base=base, decomp_length=decomp_length, log2_base=log2_base,
@@ -176,39 +200,54 @@ def lwe_keyswitch(ks_arrays, ks_meta: KeyswitchMeta, source_a, source_b,
     """
     base = ks_meta.base
     out_size = ks_meta.output_size
+    in_size = ks_meta.input_size
     batch_shape = source_b.shape
-    rows = ks_arrays["ab_limbs"].shape[-2]
+    log2b = ks_meta.log2_base
+    decomp_length = ks_meta.decomp_length
 
-    digits = keyswitch_digits(
-        source_a, ks_meta.decomp_length, ks_meta.log2_base)
-    # int8 digits (values 0..base-1): quarters the HBM footprint of the
-    # materialized digit array that every one-hot compare re-reads
-    digits = digits.reshape((-1, rows)).astype(jnp.int8)  # (B, in*l)
+    a2 = source_a.reshape((-1, in_size))
+    bsz = a2.shape[0]
 
-    total = 0
-    result_cv = 0
-    for v in range(1, base):
-        # int8 one-hot x int8 limb with exact i32 accumulation: the
-        # MXU-native operand pair (products <= 127, 8192-term sums
-        # <= 2^20 — exact).  Measured on v5e at batch 2^14: bf16/f32
-        # 10.75 ms, int8 10.28, limb-folded-rhs variant 10.61 — the op
-        # sits at a ~10 ms floor regardless of operand type or einsum
-        # folding, so the simplest exact int8 form is kept
-        mask_i8 = (digits == v).astype(jnp.int8)
-        for limb in range(KS_LIMBS):
-            p = jnp.einsum(
-                'br,rn->bn', mask_i8, ks_arrays["ab_limbs"][v - 1, limb],
-                preferred_element_type=jnp.int32)
-            total = total + (p << (KS_LIMB_BITS * limb))
-        # the tracked variance rides the same mask as a matvec instead of
-        # a full (B, rows) f32 elementwise+reduce chain
-        result_cv = result_cv + jnp.einsum(
-            'br,r->b', mask_i8, ks_arrays["cv"][v - 1],
-            preferred_element_type=ErrorFloat)
+    lane_tile = None
+    if jax.default_backend() == 'tpu':
+        for t in (512, 256, 128):
+            if bsz % t == 0:
+                lane_tile = t
+                break
+    if lane_tile is not None:
+        # native int8 MXU path: the XLA einsum formulation runs int8 dots
+        # at the bf16 rate (trace-measured 0.75 ms per einsum, 12 of them
+        # = 9.0 of the op's 10.4 ms at batch 2^14); the Pallas kernel
+        # halves the MAC time and keeps the one-hot masks in VMEM
+        from .pallas import keyswitch as pks
+        total = pks.keyswitch_mac(a2, ks_arrays["ab_limbs"], ks_meta,
+                                  lane_tile=lane_tile)
+    else:
+        # l-major digits (r = j*in_size + i), matching the packed rows;
+        # int8 one-hot x int8 limb with exact i32 accumulation (products
+        # <= 127, 8192-term sums <= 2^20)
+        prec = jnp.int32(2 ** (32 - (1 + log2b * decomp_length)))
+        dmask = jnp.int32(2 ** log2b - 1)
+        shifted = a2 + prec
+        digits = jnp.concatenate(
+            [((shifted >> (32 - (j + 1) * log2b)) & dmask)
+             for j in range(decomp_length)], axis=-1).astype(jnp.int8)
+        total = 0
+        for v in range(1, base):
+            mask_i8 = (digits == v).astype(jnp.int8)
+            for limb in range(KS_LIMBS):
+                p = jnp.einsum(
+                    'br,rn->bn', mask_i8, ks_arrays["ab_limbs"][v - 1, limb],
+                    preferred_element_type=jnp.int32)
+                total = total + (p << (KS_LIMB_BITS * limb))
 
     result_a = (-total[:, :out_size]).reshape(batch_shape + (out_size,))
     result_b = (source_b.reshape(-1) - total[:, out_size]).astype(jnp.int32)
-    result_cv = result_cv.astype(ErrorFloat).reshape(batch_shape)
+    # the nonzero-digit count rides column out_size+1 (limb plane 0 only),
+    # and the variance table is constant on nonzero digits, so
+    # cv = count * alpha^2 — equal to the oracle's per-entry sum
+    result_cv = (total[:, out_size + 1].astype(ErrorFloat)
+                 * ks_arrays["cv_scale"]).reshape(batch_shape)
     if source_cv is not None:
         result_cv = (result_cv + source_cv.astype(ErrorFloat)
                      ).astype(ErrorFloat)

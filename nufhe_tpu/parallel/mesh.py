@@ -70,8 +70,8 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    def step(lwe_a, lwe_b, bk_dev, ks_ab, ks_cv):
-        ks_arrays = dict(ab_limbs=ks_ab, cv=ks_cv)
+    def step(lwe_a, lwe_b, bk_dev, ks_ab, ks_cv_scale):
+        ks_arrays = dict(ab_limbs=ks_ab, cv_scale=ks_cv_scale)
         tp = dict(axis_name='model') if mode == 'limbs' else \
             dict(slot_axis_name='model')
         return dboot.bootstrap_device(
@@ -99,7 +99,7 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False,
     @jax.jit
     def fn(lwe_a, lwe_b, bk_dev, ks_arrays):
         return mapped(lwe_a, lwe_b, bk_dev,
-                      ks_arrays['ab_limbs'], ks_arrays['cv'])
+                      ks_arrays['ab_limbs'], ks_arrays['cv_scale'])
 
     return fn
 

@@ -99,3 +99,48 @@ def test_pallas_chunked_rotation_interpret(rng):
     for c in range(n_steps // 2):
         got = rot(got, bara3, bk_dev, c * 2)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_keyswitch_interpret_matches_xla(rng):
+    """The Pallas keyswitch MAC kernel (native int8 MXU path on TPU)
+    against the XLA einsum formulation — identical totals, including the
+    embedded nonzero-digit count column."""
+    from nufhe_tpu.ops import lwe as dlwe
+    from nufhe_tpu.ops.pallas import keyswitch as pks
+
+    in_size, l, base, out_size = 64, 8, 4, 20
+    rows = in_size * l
+    ks_a = rng.randint(-2**31, 2**31, (in_size, l, base, out_size)
+                       ).astype(np.int32)
+    ks_a[:, :, 0] = 0
+    ks_b = rng.randint(-2**31, 2**31, (in_size, l, base)).astype(np.int32)
+    ks_b[:, :, 0] = 0
+    ks_cv = np.full((in_size, l, base), 3e-9, np.float32)
+    ks_cv[:, :, 0] = 0
+    arrays, meta = dlwe.prepare_keyswitch_device(ks_a, ks_b, ks_cv, 2)
+
+    bsz = 256
+    a2 = jnp.asarray(rng.randint(-2**31, 2**31, (bsz, in_size)
+                                 ).astype(np.int32))
+    got = np.asarray(pks.keyswitch_mac(
+        a2, arrays["ab_limbs"], meta, lane_tile=128, interpret=True))
+
+    # XLA formulation (the CPU-path branch of lwe_keyswitch)
+    prec = jnp.int32(2 ** (32 - (1 + 2 * l)))
+    dmask = jnp.int32(3)
+    shifted = a2 + prec
+    digits = jnp.concatenate(
+        [((shifted >> (32 - (j + 1) * 2)) & dmask) for j in range(l)],
+        axis=-1).astype(jnp.int8)
+    total = 0
+    for v in range(1, base):
+        m = (digits == v).astype(jnp.int8)
+        for limb in range(dlwe.KS_LIMBS):
+            p = jnp.einsum('br,rn->bn', m, arrays["ab_limbs"][v - 1, limb],
+                           preferred_element_type=jnp.int32)
+            total = total + (p << (dlwe.KS_LIMB_BITS * limb))
+    want = np.asarray(total)
+    assert np.array_equal(got, want)
+    # the count column equals the number of nonzero digits per sample
+    counts = np.asarray((digits != 0).sum(axis=-1))
+    assert np.array_equal(got[:, out_size + 1], counts)
