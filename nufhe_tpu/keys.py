@@ -6,9 +6,9 @@ so a seeded ``DeterministicRNG`` yields reproducible keys), then prepared
 into device-resident forms:
 
 - the bootstrap key: coefficient-domain TGSW samples (serialized form)
-  -> transformed mod 2^38, limb-split, negacyclic-expanded bf16 tensor that
-  lives in HBM for the MXU MAC;
-- the keyswitch key: LWE table -> 8-bit-limb bf16 matrices.
+  -> transformed mod 2^38, limb-split, negacyclic-expanded int8 tensor
+  that lives in HBM for the MXU MAC;
+- the keyswitch key: LWE table -> 8-bit-limb int8 matrices.
 
 Reference: ``nufhe/lwe.py`` (LweKey, LweKeyswitchKey), ``nufhe/tlwe.py``,
 ``nufhe/tgsw.py``, ``nufhe/bootstrap.py:44-92``, ``nufhe/api_low_level.py``.

@@ -25,6 +25,17 @@ from .. import flat_engine as fe
 from .. import rows_engine as re_
 
 
+def _out_sds(shape, like):
+    """int32 ShapeDtypeStruct carrying ``like``'s varying-axes spec —
+    required under shard_map's vma checker (the accumulator's sharding is
+    the output's: key operands are replicated)."""
+    try:
+        return jax.ShapeDtypeStruct(shape, jnp.int32,
+                                    vma=jax.typeof(like).vma)
+    except (AttributeError, TypeError):
+        return jax.ShapeDtypeStruct(shape, jnp.int32)
+
+
 def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
                             offset: int, lane_tile: int = 128,
                             mac_dtype=jnp.int8, interpret: bool = False,
@@ -49,6 +60,7 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
         return pl.pallas_call(
             kernel,
             grid=(b // bt,),
+            out_shape=_out_sds((n_rows, b), acc_rows),
             in_specs=[
                 pl.BlockSpec((1, bt), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -59,7 +71,6 @@ def make_external_step_rows(mask1: int, decomp_length: int, log2_base: int,
             ],
             out_specs=pl.BlockSpec((n_rows, bt), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
             input_output_aliases={1: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
@@ -146,7 +157,7 @@ def make_blind_rotate_chunk(mask1: int, decomp_length: int, log2_base: int,
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_rows, b), jnp.int32),
+            out_shape=_out_sds((n_rows, b), acc_rows),
             # the acc HBM buffer doubles as the output buffer (operand
             # index 2 counts the scalar-prefetch arg); each cell's region
             # is only rewritten at its own last-step writeback, after its

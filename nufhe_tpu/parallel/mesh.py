@@ -55,12 +55,18 @@ def replicate(tree, mesh):
 
 
 def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False,
-                         mode='limbs'):
+                         mode='limbs', force_tp=False):
     """A jitted SPMD bootstrap: batch over 'data'; over 'model' either the
     external-product decomposition limbs (``mode='limbs'``, per-step psum
     of the dual-channel MAC outputs) or the transform slots
     (``mode='slots'``, per-step all_gather — the TPU-native equivalent of
     splitting NTT stages across chips); keyswitch local.
+
+    A size-1 'model' axis means pure data parallelism: the tensor-parallel
+    kwargs are dropped so each shard runs the fused Pallas engine (the
+    XLA-composed TP branch measured ~4x slower per chip).  ``force_tp``
+    keeps them anyway — used by ``tools/run_tp.py`` to prove the
+    collective code paths compile and run on a 1-device mesh.
 
     Returns ``fn(lwe_a, lwe_b, bk_dev, ks_arrays) -> (a, b, cv)``.
     ``bk_dev`` must be passed sharded with ``shard_bootstrap_key(mode=)``.
@@ -70,10 +76,17 @@ def sharded_bootstrap_fn(mesh, ks_meta, mu, tgsw_params, no_keyswitch=False,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    n_model = int(np.prod(
+        [s_ for n_, s_ in zip(mesh.axis_names, mesh.devices.shape)
+         if n_ == 'model'])) if 'model' in mesh.axis_names else 1
+    use_tp = force_tp or n_model > 1
+
     def step(lwe_a, lwe_b, bk_dev, ks_ab, ks_cv_scale):
         ks_arrays = dict(ab_limbs=ks_ab, cv_scale=ks_cv_scale)
-        tp = dict(axis_name='model') if mode == 'limbs' else \
-            dict(slot_axis_name='model')
+        tp = {}
+        if use_tp:
+            tp = dict(axis_name='model') if mode == 'limbs' else \
+                dict(slot_axis_name='model')
         return dboot.bootstrap_device(
             lwe_a, lwe_b, bk_dev, ks_arrays, ks_meta, mu, tgsw_params,
             no_keyswitch=no_keyswitch, **tp)

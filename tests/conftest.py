@@ -54,6 +54,10 @@ def pytest_addoption(parser):
         "--heavy", action="store_true", default=False,
         help="run heavy (full-parameter, benchmark-sized) tests")
     parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="run the slow exhaustive sweeps (full integer-circuit "
+             "families, chunked-kernel interpret run); implied by --heavy")
+    parser.addoption(
         "--perf", action="store_true", default=False,
         help="run performance measurement tests")
 
@@ -61,13 +65,21 @@ def pytest_addoption(parser):
 def pytest_collection_modifyitems(config, items):
     skip_heavy = pytest.mark.skip(reason="needs --heavy")
     skip_perf = pytest.mark.skip(reason="needs --perf")
+    skip_slow = pytest.mark.skip(reason="needs --slow (or --heavy)")
+    run_slow = config.getoption("--slow") or config.getoption("--heavy")
     for item in items:
         if "heavy" in item.keywords and not config.getoption("--heavy"):
             item.add_marker(skip_heavy)
         if "perf" in item.keywords and not config.getoption("--perf"):
             item.add_marker(skip_perf)
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "heavy: full-parameter / slow tests")
     config.addinivalue_line("markers", "perf: performance measurement tests")
+    config.addinivalue_line(
+        "markers", "slow: exhaustive sweeps behind --slow (default tier "
+        "keeps the dual-mode gate/bootstrap/parallel coverage and the "
+        "reference-parity uint_min)")

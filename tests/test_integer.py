@@ -50,6 +50,7 @@ def test_uint_min(transform_type):
     assert np.array_equal(got, np.minimum(a_vals, b_vals))
 
 
+@pytest.mark.slow
 def test_uint_add_and_compare():
     rng = nf.DeterministicRNG(8)
     secret, cloud = nf.make_key_pair(rng, lwe_size=16)
@@ -80,6 +81,7 @@ def test_uint_add_and_compare():
         nf.decrypt(secret, lt)[:, 0], a_vals < b_vals)
 
 
+@pytest.mark.slow
 def test_uint_max_sub_eq():
     from nufhe_tpu.models.integer import uint_max, uint_sub, uint_eq
     rng = nf.DeterministicRNG(9)
@@ -107,6 +109,7 @@ def test_uint_max_sub_eq():
     assert np.array_equal(got, a_vals == b_vals)
 
 
+@pytest.mark.slow
 def test_uint_mul():
     from nufhe_tpu.models.integer import uint_mul
     rng = nf.DeterministicRNG(10)
@@ -125,6 +128,7 @@ def test_uint_mul():
     assert np.array_equal(got, (a_vals * b_vals) % 16)
 
 
+@pytest.mark.slow
 def test_parallel_prefix_variants():
     """Kogge-Stone adders/comparators agree with plaintext arithmetic.
 
@@ -190,6 +194,7 @@ def test_parallel_prefix_variants():
     assert np.array_equal(nf.decrypt(secret, eq5)[:, 0], a5 == b5)
 
 
+@pytest.mark.slow
 def test_uint_mul_parallel():
     from nufhe_tpu.models.integer import uint_mul
     jax.clear_caches()
@@ -209,6 +214,7 @@ def test_uint_mul_parallel():
     assert np.array_equal(got, (a_vals * b_vals) % 16)
 
 
+@pytest.mark.slow
 def test_vm_uint_dispatch():
     """VirtualMachine.uint_* allocates the right result shapes and routes
     kwargs (parallel=) through to the integer circuits."""
@@ -245,6 +251,7 @@ def test_vm_uint_dispatch():
     assert np.array_equal(nf.decrypt(secret, eq)[:, 0], a_vals == 9)
 
 
+@pytest.mark.slow
 def test_signed_operators():
     """Two's-complement family: comparisons via the sign-flip reduction,
     negation via the suffix-AND carry scan, add identical to unsigned."""
@@ -299,6 +306,7 @@ def test_signed_operators():
     assert np.array_equal(nf.decrypt(secret, out)[:, 0], a_vals > b_vals)
 
 
+@pytest.mark.slow
 def test_uint_divmod():
     """Restoring division (w=4, serial and parallel comparator), including
     the all-ones quotient convention for an encrypted zero divisor."""

@@ -68,6 +68,7 @@ def test_pallas_step_interpret_rounded_key(rng):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_pallas_chunked_rotation_interpret(rng):
     """The chunked multi-step launch (scalar-prefetch key indexing,
     VMEM-revisited accumulator) equals per-step composition bit-exactly."""

@@ -54,7 +54,8 @@ def main(batch=1024):
     for mode in ("limbs", "slots"):
         mesh = pmesh.make_mesh(n_data=1, n_model=1)
         fn = pmesh.sharded_bootstrap_fn(
-            mesh, ks_meta, int(_MU), tgsw_params, mode=mode)
+            mesh, ks_meta, int(_MU), tgsw_params, mode=mode,
+            force_tp=True)
         bk_sharded = pmesh.shard_bootstrap_key(bk_dev, mesh, mode=mode)
         la = jnp.asarray(lin_a)
         lb = jnp.asarray(lin_b)
