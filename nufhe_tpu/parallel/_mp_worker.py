@@ -36,7 +36,10 @@ def _setup(lwe_size, batch):
     ks_a = rng.randint(
         -2**31, 2**31, (1024, 8, 4, lwe_size)).astype(np.int32)
     ks_b = rng.randint(-2**31, 2**31, (1024, 8, 4)).astype(np.int32)
-    ks_cv = rng.rand(1024, 8, 4).astype(np.float32)
+    # constant alpha^2 on nonzero digits like real keys (the count-based
+    # cv accounting asserts this shape)
+    ks_cv = np.full((1024, 8, 4), 3e-9, np.float32)
+    ks_cv[:, :, 0] = 0
     ks_arrays, ks_meta = dlwe.prepare_keyswitch_device(ks_a, ks_b, ks_cv, 2)
     lwe_a = rng.randint(-2**31, 2**31, (batch, lwe_size)).astype(np.int32)
     lwe_b = rng.randint(-2**31, 2**31, (batch,)).astype(np.int32)
