@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def keyswitch_mac(a2, ab_limbs, meta, lane_tile=512, interpret=False,
+def keyswitch_mac(a2, ab_limbs, meta, lane_tile=1024, interpret=False,
                   vmem_limit_mb=120):
     """sum over nonzero digit values and limbs of
     ``onehot(digits, v) @ ab_limbs[v-1, limb] << 8*limb``.
